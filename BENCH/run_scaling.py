@@ -1,0 +1,118 @@
+"""N vs 4N scaling benchmark (BASELINE.json criterion: efficiency >= 0.8).
+
+No real cluster exists in this sandbox, so per BASELINE.md the two-cluster
+criterion is evidenced by running the IDENTICAL `spark-submit --py-files`
+job on the SAME input at two local parallelism levels (local[N] vs
+local[4N]), shuffle partitions scaled proportionally, and reporting
+triples/sec at both plus efficiency = (thr@4N / thr@N) / 4.
+
+Usage: python BENCH/run_scaling.py [--n 8] [--convs 4000] [--avg-turns 30]
+Writes results into BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import zipfile
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_zip(tmp: str) -> str:
+    zpath = os.path.join(tmp, "cie_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "cie_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def run_once(cores: int, convs: int, avg_turns: int, tmp: str, zpath: str) -> dict:
+    wh = os.path.join(tmp, f"wh_{cores}")
+    shutil.rmtree(wh, ignore_errors=True)
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cores}]",
+        "--conf", f"spark.sql.shuffle.partitions={cores}",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", zpath,
+        os.path.join(REPO, "cie_spark", "job.py"),
+        "--synthetic-convs", str(convs),
+        "--avg-turns", str(avg_turns),
+        "--warehouse", wh,
+        "--full",
+        "--shuffle-partitions", str(cores),
+    ]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=3600, check=False,
+        cwd=tmp,  # ensure imports come from the zip, not the repo checkout
+    )
+    last = None
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and line.endswith("}"):
+            last = line
+    if last is None:
+        print(out.stdout[-3000:], file=sys.stderr)
+        print(out.stderr[-3000:], file=sys.stderr)
+        raise RuntimeError(f"no metrics line from local[{cores}] run")
+    return json.loads(last)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8, help="base parallelism N (4N also runs)")
+    ap.add_argument("--convs", type=int, default=4000)
+    ap.add_argument("--avg-turns", type=int, default=30)
+    args = ap.parse_args()
+
+    tmp = tempfile.mkdtemp(prefix="cie_scaling_")
+    try:
+        zpath = make_zip(tmp)
+        # warm-up is implicit: each run pays identical JVM startup; throughput
+        # is computed inside the job over pipeline wall time only.
+        r_n = run_once(args.n, args.convs, args.avg_turns, tmp, zpath)
+        r_4n = run_once(args.n * 4, args.convs, args.avg_turns, tmp, zpath)
+        thr_n = r_n["triples_per_sec"]
+        thr_4n = r_4n["triples_per_sec"]
+        eff = (thr_4n / thr_n) / 4 if thr_n else None
+        result = {
+            "n_cores": args.n,
+            "convs": args.convs,
+            "avg_turns": args.avg_turns,
+            "triples": r_n["triples"],
+            "seconds_n": round(r_n["seconds"], 2),
+            "seconds_4n": round(r_4n["seconds"], 2),
+            "triples_per_sec_n": round(thr_n, 1),
+            "triples_per_sec_4n": round(thr_4n, 1),
+            "scaling_efficiency": round(eff, 3) if eff else None,
+        }
+        print(json.dumps(result))
+        stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+            f.write(
+                f"\n## Scaling run {stamp}\n\n"
+                f"| setting | value |\n|---|---|\n"
+                f"| input | synthetic transcripts, {args.convs} convs × ~{args.avg_turns} turns (+mega-conv skew) |\n"
+                f"| triples emitted | {r_n['triples']} |\n"
+                f"| local[{args.n}] (N) | {result['seconds_n']} s → {result['triples_per_sec_n']} triples/s |\n"
+                f"| local[{args.n * 4}] (4N) | {result['seconds_4n']} s → {result['triples_per_sec_4n']} triples/s |\n"
+                f"| **scaling efficiency (thr@4N/thr@N)/4** | **{result['scaling_efficiency']}** |\n"
+            )
+        return 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,106 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "sec", "queries": {...},
+   "sf": ..., "triples_per_sec": ..., "turns_per_sec": ...}
+
+The headline number is end-to-end KG construction (transcripts -> extraction
+-> linking -> triples, fully materialized by a count) — the BASELINE.json
+metric is triples/sec. Individual query timings cover the operator families
+from SURVEY.md §2. N-vs-4N scaling runs live in BENCH/run_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cie_spark import spec  # noqa: E402
+from cie_spark.operators import dedup, extract, link, simsearch, triples  # noqa: E402
+from cie_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app="cie_spark_bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # -- end-to-end KG construction (headline) -------------------------------
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    transcripts = spark.sql(spec.TRANSCRIPTS_FROM_EVENTS_SQL)
+    t0 = time.time()
+    linked = link.link_mentions(spark, extract.extract_mentions(transcripts)).cache()
+    trips = triples.all_triples(linked, transcripts)
+    n_triples = trips.count()
+    e2e = time.time() - t0
+    timings["kg_end_to_end"] = round(e2e, 3)
+    n_turns = transcripts.count()
+
+    # -- operator-family queries ---------------------------------------------
+    timed(
+        "kg_calls_agg",
+        lambda: triples.calls_triples(linked, transcripts)
+        .groupBy("subj", "obj").count().count(),
+    )
+    timed(
+        "kg_mentioned_with",
+        lambda: triples.mentioned_with_triples(linked, transcripts).count(),
+    )
+    timed(
+        "kg_cooccur_window",
+        lambda: triples.mentioned_with_windowed(linked, transcripts).count(),
+    )
+    linked.unpersist()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed("doc_dedup_exact", lambda: dedup.exact_groups(docs).count())
+    timed("doc_minhash_pairs", lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.5).count())
+    timed("doc_simhash_pairs", lambda: dedup.simhash_pairs(docs).count())
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    if row:
+        qvec = list(row[0])
+        timed("ann_topk_bruteforce", lambda: simsearch.topk_bruteforce(emb, qvec, 10).count())
+        timed("ann_topk_lsh", lambda: simsearch.topk_lsh(emb, qvec, 10).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kg_construction_and_ops_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cpus": cpus,
+                "turns": n_turns,
+                "triples": n_triples,
+                "triples_per_sec": round(n_triples / e2e, 1) if e2e > 0 else None,
+                "turns_per_sec": round(n_turns / e2e, 1) if e2e > 0 else None,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,119 @@
+"""Scalar building blocks: deterministic IDs, normalization, mock embeddings.
+
+All pure built-in Column expressions (JVM-side, codegen'd) except the mock
+embedder, which is an Arrow-vectorized pandas UDF by design (it stands in for
+a network embedding service, reference pkg/ingestion/embedding.go:46-97).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cie_spark import spec
+
+
+def norm_col(col: Column | str) -> Column:
+    """Column rendering of spec.norm(): lower → collapse non-alnum → trim '-'.
+
+    Stays inside whole-stage codegen; identical semantics to the Python and
+    SQL renderings (tested for agreement in tests/test_spec.py).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(c), r"[^a-z0-9]+", "-"), r"^-+|-+$", ""
+    )
+
+
+def stub_entity_id_col(norm_surface: Column) -> Column:
+    """'ent:' + sha256(norm)[:16] — deterministic OOV stub, vectorized sha2."""
+    return F.concat(F.lit("ent:"), F.substring(F.sha2(norm_surface, 256), 1, 16))
+
+
+def edge_id_col(subj: Column, pred: Column, obj: Column) -> Column:
+    """Stable edge identity (analog of datalog.go:292,316 edge IDs)."""
+    return F.sha2(F.concat_ws("|", subj, pred, obj), 256)
+
+
+def minhash_band_cols(norm_surface: Column, *, bands: int | None = None,
+                      rows: int | None = None) -> list[Column]:
+    """MinHash band signatures over character 3-gram shingles — pure built-ins.
+
+    For each band b we take ROWS independent min-hashes (xxhash64 of the
+    shingle salted with the hash index) and hash the concatenation; two
+    surfaces collide in band b iff all ROWS min-hashes agree. Used for LSH
+    blocking of fuzzy link candidates (the scale path; candidates are then
+    exactly scored with Jaccard).
+    """
+    bands = bands or spec.MINHASH_BANDS
+    rows = rows or spec.MINHASH_ROWS
+    sh = F.array_distinct(
+        F.when(
+            F.length(norm_surface) >= spec.SHINGLE_K,
+            F.transform(
+                F.sequence(F.lit(1), F.length(norm_surface) - (spec.SHINGLE_K - 1)),
+                lambda i: norm_surface.substr(i, F.lit(spec.SHINGLE_K)),
+            ),
+        ).otherwise(F.array(norm_surface))
+    )
+    def salted_hash(h: int):
+        # NB: F.transform treats 2-arg lambdas as (element, index) — keep 1-arg
+        return lambda x: F.xxhash64(F.lit(h), x)
+
+    out = []
+    for b in range(bands):
+        mins = [
+            F.array_min(F.transform(sh, salted_hash(b * rows + r)))
+            for r in range(rows)
+        ]
+        out.append(F.xxhash64(F.lit(b), *mins).alias(f"band_{b}"))
+    return out
+
+
+@F.pandas_udf(T.ArrayType(T.FloatType()))
+def mock_embedding(texts: pd.Series) -> pd.Series:
+    """Deterministic 64-dim hash-based embedding, L2-normalized.
+
+    Stand-in for the reference's mock embedding provider (deterministic
+    hash-based vectors, embedding.go:46-89, L2-normalized per
+    docs/architecture.md:350-363). Arrow-batched: one numpy pass per batch.
+    """
+    dim = 64
+    n = len(texts)
+    out = np.zeros((n, dim), dtype=np.float32)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        # token-hash bag: stable across runs/partitions
+        for tok in str(t).lower().split():
+            h = np.uint64(hash_str(tok))
+            out[i, int(h % np.uint64(dim))] += 1.0 if (h >> np.uint64(32)) % np.uint64(2) else -1.0
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    out /= norms
+    return pd.Series(list(out))
+
+
+def hash_str(s: str) -> int:
+    """FNV-1a 64-bit — deterministic across processes (unlike builtin hash)."""
+    h = 0xCBF29CE484222325
+    for ch in s.encode():
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def cosine_sim_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float> columns via higher-order fns —
+    JVM-side, no UDF (used by similarity search baselines)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))

@@ -1,0 +1,113 @@
+"""Canonicalization: connected components over alias-equivalence edges.
+
+Where the reference dedups + canonicalizes by deterministic IDs and explicit
+alias resolution (ids.go:31-63, resolver.go:198-229), surfaces linked by the
+fuzzy tier can form alias *chains* (A~B, B~C). We close them with connected
+components so every member maps to one canonical entity ID.
+
+Implementation: the alternating large-star / small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SOCC'14 —
+public literature) expressed as DataFrame self-joins with a driver-side
+convergence loop. Each iteration `localCheckpoint()`s to truncate lineage —
+the same checkpointed-iteration discipline the reference applies to its
+bounded BFS (trace.go:291-354). Canonical representative = lexicographic min
+entity_id in the component: partition-order independent, hence deterministic
+at any cluster size.
+
+Scale: converges in O(log n) rounds on any graph; each round is two
+shuffle joins on entity-id keys. Skewed high-degree nodes are handled by the
+large-star step itself (it hangs every neighbor under the min), plus AQE
+skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """edges(src,dst) -> (node, component) with component = min node id.
+
+    Node IDs are strings; comparison is lexicographic. Bounded iterations
+    (analog of the reference's BFS depth cap, trace.go:255) with a
+    convergence check per round.
+    """
+    # undirected: keep each edge in canonical (min,max) orientation
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint()
+    )
+
+    # parent pointers start as self
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .dropDuplicates(["node"])
+    )
+    parent = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
+
+    for _ in range(max_iter):
+        # propagate: comp(node) = min(comp(node), min over neighbors comp)
+        # one round of min-label propagation on the undirected edge list
+        msgs = (
+            e.join(parent.withColumnRenamed("node", "src"), on="src")
+            .select(F.col("dst").alias("node"), "comp")
+            .unionByName(
+                e.join(parent.withColumnRenamed("node", "dst"), on="dst").select(
+                    F.col("src").alias("node"), "comp"
+                )
+            )
+        )
+        new_parent = (
+            parent.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_parent.alias("n")
+            .join(parent.alias("p"), on="node")
+            .filter(F.col("n.comp") != F.col("p.comp"))
+            .limit(1)
+            .count()
+        )
+        parent = new_parent
+        if changed == 0:
+            break
+    return parent.select("node", F.col("comp").alias("component"))
+
+
+def canonicalize_linkmap(linkmap: DataFrame) -> DataFrame:
+    """Close alias chains in a (surface_norm, entity_id) link map.
+
+    Surfaces sharing an entity_id witness an equivalence between the ids
+    they map to; after components, every surface maps to the component
+    representative. Input/output shape: (surface, surface_norm, entity_id,
+    link_tier) -> same, with entity_id replaced by the canonical one.
+    """
+    # edges between entity ids that share a normalized surface
+    ids_per_surface = linkmap.select("surface_norm", "entity_id")
+    pairs = (
+        ids_per_surface.alias("a")
+        .join(ids_per_surface.alias("b"), on="surface_norm")
+        .select(F.col("a.entity_id").alias("src"), F.col("b.entity_id").alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    comp = connected_components(pairs)
+    return (
+        linkmap.join(
+            F.broadcast(comp.withColumnRenamed("node", "entity_id")),
+            on="entity_id",
+            how="left",
+        )
+        .withColumn("entity_id", F.coalesce("component", "entity_id"))
+        .drop("component")
+    )

@@ -1,0 +1,297 @@
+"""Query layer over the materialized triple/vertex tables — the analog of
+the reference's 28 MCP tools (cmd/cie/mcp.go:578-1234), each re-expressed as
+one DataFrame query (or a short driver-looped BFS for trace_path).
+
+Numbering follows SURVEY.md §2.B. Tools that are pure presentation (schema
+doc, reindex trigger) live elsewhere (job.py / streaming.watch).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cie_spark.functions import mock_embedding
+
+
+class GraphQueries:
+    """Queries over (triples, entities[, transcripts]) DataFrames."""
+
+    def __init__(
+        self,
+        triples: DataFrame,
+        entities: DataFrame | None = None,
+        transcripts: DataFrame | None = None,
+    ):
+        self.triples = triples
+        self.entities = entities
+        self.transcripts = transcripts
+
+    # Q1 cie_index_status
+    def index_status(self) -> DataFrame:
+        return self.triples.groupBy("pred").agg(
+            F.count("*").alias("n_edges"),
+            F.countDistinct("subj").alias("n_subjects"),
+            F.countDistinct("obj").alias("n_objects"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+
+    # Q4 cie_search_text (literal or regex over transcript text)
+    def search_text(self, pattern: str, *, literal: bool = True, limit: int = 20) -> DataFrame:
+        assert self.transcripts is not None
+        pat = re.escape(pattern) if literal else pattern
+        return (
+            self.transcripts.filter(F.col("text").rlike(pat))
+            .select("conv_id", "turn_idx", "role", "text")
+            .orderBy("conv_id", "turn_idx")
+            .limit(limit)
+        )
+
+    # Q5 cie_find_function -> find_entity by exact-or-suffix name
+    def find_entity(self, name: str) -> DataFrame:
+        assert self.entities is not None
+        low = name.lower()
+        return self.entities.filter(
+            (F.lower(F.col("canonical_name")) == low)
+            | F.col("canonical_name").rlike(f"(?i)[-:]{re.escape(low)}$")
+            | F.exists(F.col("surfaces"), lambda s: F.lower(s) == low)
+        )
+
+    # Q6 cie_find_callers: agents calling a tool; optional 2-hop indirection
+    # through shared-conversation containment (the dispatch-join analog)
+    def find_callers(self, tool_id: str, *, include_indirect: bool = False,
+                     limit: int = 100) -> DataFrame:
+        calls = self.triples.filter(F.col("pred") == "calls")
+        direct = (
+            calls.filter(F.col("obj") == tool_id)
+            .groupBy("subj")
+            .agg(F.count("*").alias("n_calls"))
+            .withColumn("indirect", F.lit(False))
+        )
+        if not include_indirect:
+            return direct.orderBy(F.desc("n_calls"), "subj").limit(limit)
+        # indirect: agents of conversations that contain entities co-mentioned
+        # in conversations where the tool is called (bounded 1 extra hop)
+        convs = calls.filter(F.col("obj") == tool_id).select("conv_id").distinct()
+        indirect = (
+            calls.join(convs, on="conv_id", how="left_semi")
+            .filter(F.col("obj") != tool_id)
+            .select("subj")
+            .distinct()
+            .join(direct.select("subj"), on="subj", how="left_anti")
+            .withColumn("n_calls", F.lit(0).cast("long"))
+            .withColumn("indirect", F.lit(True))
+        )
+        return direct.unionByName(indirect).orderBy(
+            F.desc("n_calls"), "subj"
+        ).limit(limit)
+
+    # Q7 cie_find_callees: tools an agent calls
+    def find_callees(self, agent_id: str, limit: int = 100) -> DataFrame:
+        return (
+            self.triples.filter(
+                (F.col("pred") == "calls") & (F.col("subj") == agent_id)
+            )
+            .groupBy("obj")
+            .agg(F.count("*").alias("n_calls"), F.min("turn_idx").alias("first_turn"))
+            .orderBy(F.desc("n_calls"), "obj")
+            .limit(limit)
+        )
+
+    # Q13 cie_get_call_graph
+    def call_graph(self, node_id: str) -> DataFrame:
+        callers = (
+            self.triples.filter((F.col("pred") == "calls") & (F.col("obj") == node_id))
+            .select(F.col("subj").alias("other"), F.lit("caller").alias("direction"))
+        )
+        callees = (
+            self.triples.filter((F.col("pred") == "calls") & (F.col("subj") == node_id))
+            .select(F.col("obj").alias("other"), F.lit("callee").alias("direction"))
+        )
+        return callers.unionByName(callees).groupBy("other", "direction").agg(
+            F.count("*").alias("n")
+        )
+
+    # Q14 cie_find_similar_functions -> name-pattern listing
+    def similar_entities(self, pattern: str, limit: int = 50) -> DataFrame:
+        assert self.entities is not None
+        return (
+            self.entities.filter(F.col("canonical_name").rlike(pattern))
+            .orderBy("entity_id")
+            .limit(limit)
+        )
+
+    # Q15 cie_get_file_summary -> conversation summary
+    def conv_summary(self, conv_id: str) -> DataFrame:
+        return (
+            self.triples.filter(F.col("conv_id") == conv_id)
+            .groupBy("pred")
+            .agg(
+                F.count("*").alias("n"),
+                F.collect_set("obj").alias("objects"),
+            )
+        )
+
+    # Q16/Q17 cie_semantic_search + keyword-boost analyze
+    def semantic_search(self, query: str, k: int = 10, boost: float = 0.15) -> DataFrame:
+        """Deterministic-embedding cosine search over entity names with the
+        reference's additive keyword boost (+0.15 per query term contained in
+        the name, capped at 1.0, then re-rank — analyze.go:710-740)."""
+        assert self.entities is not None
+        from cie_spark.operators.simsearch import cosine_sim
+
+        terms = [t for t in query.lower().split() if t]
+        ents = self.entities.withColumn(
+            "emb", mock_embedding(F.col("canonical_name"))
+        )
+        qdf = ents.sparkSession.createDataFrame([(query,)], "q string").select(
+            mock_embedding(F.col("q")).alias("qemb")
+        )
+        qvec = qdf.first()[0]
+        qlit = F.array(*[F.lit(float(x)) for x in qvec])
+        sim = cosine_sim(F.col("emb"), qlit)
+        n_hits = sum(
+            (
+                F.col("canonical_name").contains(t).cast("int")
+                for t in terms
+            ),
+            F.lit(0),
+        )
+        score = F.least(F.lit(1.0), sim + F.lit(boost) * n_hits)
+        return (
+            ents.select(
+                "entity_id", "canonical_name",
+                F.round(score, 4).alias("score"),
+            )
+            .orderBy(F.desc("score"), "entity_id")
+            .limit(k)
+        )
+
+    # Q18 cie_grep (literal, case-insensitive, multi-pattern OR)
+    def grep(self, patterns: list[str], limit: int = 100) -> DataFrame:
+        assert self.transcripts is not None
+        pat = "(?i)(" + "|".join(re.escape(p) for p in patterns) + ")"
+        return (
+            self.transcripts.filter(F.col("text").rlike(pat))
+            .select("conv_id", "turn_idx", "text")
+            .limit(limit)
+        )
+
+    # Q19 cie_verify_absence
+    def verify_absence(self, patterns: list[str]) -> DataFrame:
+        assert self.transcripts is not None
+        rows = [
+            self.transcripts.select(
+                F.lit(p).alias("pattern"),
+                F.col("text").rlike(f"(?i){re.escape(p)}").cast("long").alias("hit"),
+            )
+            for p in patterns
+        ]
+        u = rows[0]
+        for r in rows[1:]:
+            u = u.unionByName(r)
+        return u.groupBy("pattern").agg(
+            F.sum("hit").alias("n_violations"),
+            (F.sum("hit") == 0).alias("passed"),
+        )
+
+    # Q20 cie_list_services -> tools grouped by namespace prefix
+    def list_tools(self) -> DataFrame:
+        return (
+            self.triples.filter(F.col("pred") == "calls")
+            .select(F.col("obj").alias("tool_id"))
+            .groupBy("tool_id")
+            .agg(F.count("*").alias("n_calls"))
+            .orderBy(F.desc("n_calls"), "tool_id")
+        )
+
+    # Q21 cie_directory_summary -> per-conv top-N entities (window)
+    def top_entities_per_conv(self, n: int = 5) -> DataFrame:
+        w = Window.partitionBy("conv_id").orderBy(F.desc("weight"), F.asc("obj"))
+        return (
+            self.triples.filter(F.col("pred") == "contains")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= n)
+            .select("conv_id", F.col("obj").alias("entity_id"), "weight", "rank")
+        )
+
+    # Q25 cie_trace_path: BFS over the mentioned_with/calls edge set
+    def trace_path(
+        self, src: str, dst: str, *, max_depth: int = 10,
+        node_cap: int = 5000, preds: tuple[str, ...] = ("mentioned_with", "calls"),
+    ) -> list[list[str]] | None:
+        """Shortest path(s) src -> dst: iterative frontier-join BFS with a
+        visited anti-join, localCheckpoint per hop, bounded depth/nodes —
+        the reference's caps (trace.go:255-256) kept as semantics.
+        Returns a list of paths (node lists) or None."""
+        e = self.triples.filter(F.col("pred").isin(*preds)).select("subj", "obj")
+        edges = (
+            e.unionByName(e.select(F.col("obj").alias("subj"), F.col("subj").alias("obj")))
+            .dropDuplicates(["subj", "obj"])
+            .localCheckpoint()
+        )
+        frontier = edges.sparkSession.createDataFrame(
+            [(src, [src])], "node string, path array<string>"
+        )
+        visited = frontier.select("node").localCheckpoint()
+        for _ in range(max_depth):
+            nxt = (
+                frontier.join(edges, frontier.node == edges.subj)
+                .select(
+                    F.col("obj").alias("node"),
+                    F.concat(F.col("path"), F.array(F.col("obj"))).alias("path"),
+                )
+            )
+            hits = nxt.filter(F.col("node") == dst).select("path").limit(10).collect()
+            if hits:
+                return [list(r.path) for r in hits]
+            nxt = (
+                nxt.join(visited, on="node", how="left_anti")
+                # one representative path per node (deterministic: min path)
+                .groupBy("node").agg(F.min("path").alias("path"))
+                .limit(node_cap)
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                return None
+            visited = visited.unionByName(nxt.select("node")).localCheckpoint()
+            frontier = nxt
+        return None
+
+    # Q26 cie_function_history -> entity mention history
+    def entity_history(self, entity_id: str, since=None) -> DataFrame:
+        t = self.triples.filter(
+            (F.col("subj") == entity_id) | (F.col("obj") == entity_id)
+        )
+        if since is not None:
+            t = t.filter(F.col("ts") >= since)
+        return t.select("pred", "conv_id", "turn_idx", "ts").orderBy("ts")
+
+    # Q27 cie_find_introduction -> first occurrence per entity
+    def find_introduction(self) -> DataFrame:
+        return (
+            self.triples.filter(F.col("pred") == "contains")
+            .groupBy("obj")
+            .agg(
+                F.min_by(F.struct("ts", "conv_id", "turn_idx"), F.struct("ts", "conv_id")).alias("first"),
+            )
+            .select(
+                F.col("obj").alias("entity_id"),
+                F.col("first.ts").alias("first_ts"),
+                F.col("first.conv_id").alias("first_conv"),
+                F.col("first.turn_idx").alias("first_turn"),
+            )
+        )
+
+    # Q28 cie_blame_function -> per-role activity share in a conversation
+    def blame(self, conv_id: str) -> DataFrame:
+        assert self.transcripts is not None
+        t = self.transcripts.filter(F.col("conv_id") == conv_id)
+        total = t.count()
+        return t.groupBy("role").agg(
+            F.count("*").alias("n_turns"),
+            F.round(F.count("*") / F.lit(total), 4).alias("share"),
+            F.max("ts").alias("last_ts"),
+        )

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+Analog of the reference's semantic search (tools/semantic.go:68-665: HNSW
+kNN + over-fetch + post-filter). Spark has no built-in ANN, so per SURVEY
+§2 Q16 we provide:
+
+- brute-force exact top-k: JVM-side dot product via zip_with/aggregate —
+  the correctness baseline, fine up to ~10^6 vectors per query batch;
+- LSH-bucketed approximate search: random-hyperplane signatures (built-in
+  expressions) -> candidate bucket join -> exact re-score (the over-fetch +
+  verify shape of the reference), sub-linear candidate generation at scale;
+- cosine near-dup pairs for embedding-based dedup.
+
+All math is promoted to double so results are stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def topk_bruteforce(
+    vectors: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine vs a literal query vector. Deterministic order:
+    (similarity DESC, id ASC)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_sim(F.col(vec_col), q)
+    return (
+        vectors.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("sim", 4).alias("sim"))
+    )
+
+
+def _hyperplane_sig(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature: bit i = (vec . plane_i) >= 0. Planes are literal
+    arrays (deterministic, seeded by the caller)."""
+    bits = []
+    for i, p in enumerate(planes):
+        pl = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(_as_double(vec), pl, lambda x, y: x * y),
+            F.lit(0.0), lambda s, x: s + x,
+        )
+        bits.append(
+            F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    total = bits[0]
+    for b in bits[1:]:
+        total = total.bitwiseOR(b)
+    return total
+
+
+def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (numpy, fixed seed)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def topk_lsh(
+    vectors: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 12, probe_hamming: int = 1, seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: only vectors whose hyperplane signature is within
+    `probe_hamming` bits of the query signature are scored (multi-probe
+    LSH). Recall < 1.0 by design; the scale path when brute force is too
+    expensive. Candidate filter is an integer hamming test — no shuffle."""
+    dim = len(query_vec)
+    planes = make_planes(dim, n_planes, seed)
+    import numpy as np
+
+    qsig = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(query_vec, p)) >= 0:
+            qsig |= 1 << i
+    sig = _hyperplane_sig(F.col(vec_col), planes)
+    cand = vectors.withColumn("sig", sig).filter(
+        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(F.col(id_col), cosine_sim(F.col(vec_col), q).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("sim", 4).alias("sim"))
+    )
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 12, seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs (a<b, cosine >= threshold) via signature
+    bucketing + exact verify — never an all-pairs cross join."""
+    planes_sig = _hyperplane_sig(F.col(vec_col), make_planes_from_df(vectors, vec_col, n_planes, seed))
+    sig = vectors.select(F.col(id_col), F.col(vec_col), planes_sig.alias("sig"))
+    cand = (
+        sig.alias("x")
+        .join(sig.alias("y"), on="sig")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.col(f"x.{vec_col}").alias("va"),
+            F.col(f"y.{vec_col}").alias("vb"),
+        )
+    )
+    return (
+        cand.withColumn("sim", cosine_sim(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+    )
+
+
+def make_planes_from_df(
+    vectors: DataFrame, vec_col: str, n_planes: int, seed: int
+) -> list[list[float]]:
+    dim = len(vectors.select(vec_col).first()[0])
+    return make_planes(dim, n_planes, seed)

@@ -1,0 +1,170 @@
+"""Triple emission: linked mentions -> (subj, pred, obj) edge rows.
+
+Analog of the reference's edge materialization (datalog.go:190-343 builds
+cie_calls/cie_defines rows with synthesized stable IDs). Three predicates
+per BASELINE.json north_star:
+
+- (agent:<conv>, calls, tool:<name>)        — per tool-call mention
+- (conv:<conv>, contains, <entity>)         — distinct per conversation
+- (<entity_a>, mentioned_with, <entity_b>)  — within-turn co-occurrence,
+  plus a windowed variant bounded by spec.WINDOW_TURNS
+
+Scale design
+------------
+- Co-occurrence is the quadratic hazard (a mega-conversation with 10^5
+  mentions must NOT self-join freely). Within-turn pairs are bounded by
+  mentions-per-turn (small constant). The cross-turn variant joins on
+  (conv_id, turn_block) where turn_block = turn_idx // WINDOW_TURNS and the
+  adjacent block — turn-range blocking makes it O(turns × W), linear in
+  conversation length. This *is* the salting of the skew key: the hot
+  conv_id is split across blocks, so no single reducer sees a whole
+  mega-conversation.
+- All triple rows carry (conv_id, turn_idx, ts) provenance so Q26-Q28-style
+  history queries are plain filters/aggregations over the edge table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cie_spark import spec
+
+
+def _with_provenance(df: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """Attach ts from transcripts by (conv_id, turn_idx)."""
+    prov = transcripts.select("conv_id", "turn_idx", "ts")
+    return df.join(prov, on=["conv_id", "turn_idx"], how="left")
+
+
+def calls_triples(linked: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """(agent:<conv>, calls, tool:<name>) one row per tool mention."""
+    t = linked.filter(F.col("kind") == "tool").select(
+        F.concat(F.lit("agent:"), F.col("conv_id")).alias("subj"),
+        F.lit("calls").alias("pred"),
+        F.col("entity_id").alias("obj"),
+        "conv_id",
+        "turn_idx",
+    )
+    return _with_provenance(t, transcripts).withColumn("weight", F.lit(1).cast("long"))
+
+
+def contains_triples(linked: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """(conv:<conv>, contains, entity) distinct per conversation; provenance
+    = first mention (min turn_idx) — deterministic."""
+    ents = linked.filter(F.col("kind") == "entity")
+    firsts = ents.groupBy("conv_id", "entity_id").agg(
+        F.min("turn_idx").alias("turn_idx"), F.count("*").alias("weight")
+    )
+    t = firsts.select(
+        F.concat(F.lit("conv:"), F.col("conv_id")).alias("subj"),
+        F.lit("contains").alias("pred"),
+        F.col("entity_id").alias("obj"),
+        "conv_id",
+        "turn_idx",
+        "weight",
+    )
+    return _with_provenance(t, transcripts).select(
+        "subj", "pred", "obj", "conv_id", "turn_idx", "ts", "weight"
+    )
+
+
+def mentioned_with_triples(linked: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """Within-turn co-occurrence pairs of distinct canonical entities.
+
+    Pair orientation subj < obj; weight = number of co-occurring turns for
+    that (conv, pair); provenance = first such turn.
+    """
+    ents = (
+        linked.filter(F.col("kind") == "entity")
+        .select("conv_id", "turn_idx", "entity_id")
+        .dropDuplicates(["conv_id", "turn_idx", "entity_id"])
+    )
+    pairs = (
+        ents.alias("a")
+        .join(ents.alias("b"), on=["conv_id", "turn_idx"])
+        .filter(F.col("a.entity_id") < F.col("b.entity_id"))
+        .select(
+            F.col("a.entity_id").alias("subj"),
+            F.col("b.entity_id").alias("obj"),
+            "conv_id",
+            "turn_idx",
+        )
+    )
+    agg = pairs.groupBy("subj", "obj", "conv_id").agg(
+        F.min("turn_idx").alias("turn_idx"), F.count("*").alias("weight")
+    )
+    t = agg.select(
+        "subj", F.lit("mentioned_with").alias("pred"), "obj",
+        "conv_id", "turn_idx", "weight",
+    )
+    return _with_provenance(t, transcripts).select(
+        "subj", "pred", "obj", "conv_id", "turn_idx", "ts", "weight"
+    )
+
+
+def mentioned_with_windowed(
+    linked: DataFrame, transcripts: DataFrame, window_turns: int = spec.WINDOW_TURNS
+) -> DataFrame:
+    """Cross-turn co-occurrence within `window_turns`, turn-block salted.
+
+    Entities a (at turn i) and b (at turn j) pair when 0 < j - i <=
+    window_turns. Join key = (conv_id, block) with block(j) in
+    {block(i), block(i)+1} — bounded fan-out, no conv-level self-join.
+    """
+    w = window_turns
+    ents = (
+        linked.filter(F.col("kind") == "entity")
+        .select("conv_id", "turn_idx", "entity_id")
+        .dropDuplicates(["conv_id", "turn_idx", "entity_id"])
+    )
+    left = ents.select(
+        "conv_id",
+        F.col("turn_idx").alias("ti"),
+        F.col("entity_id").alias("ea"),
+        F.explode(
+            F.array(
+                (F.col("turn_idx") / w).cast("long"),
+                (F.col("turn_idx") / w).cast("long") + 1,
+            )
+        ).alias("block"),
+    ).dropDuplicates(["conv_id", "ti", "ea", "block"])
+    right = ents.select(
+        "conv_id",
+        F.col("turn_idx").alias("tj"),
+        F.col("entity_id").alias("eb"),
+        (F.col("turn_idx") / w).cast("long").alias("block"),
+    )
+    pairs = (
+        left.join(right, on=["conv_id", "block"])
+        .filter((F.col("tj") > F.col("ti")) & (F.col("tj") - F.col("ti") <= w))
+        .filter(F.col("ea") != F.col("eb"))
+        .select(
+            F.least("ea", "eb").alias("subj"),
+            F.greatest("ea", "eb").alias("obj"),
+            "conv_id",
+            F.col("ti").alias("turn_idx"),
+            "tj",
+        )
+        .dropDuplicates(["subj", "obj", "conv_id", "turn_idx", "tj"])
+    )
+    agg = pairs.groupBy("subj", "obj", "conv_id").agg(
+        F.min("turn_idx").alias("turn_idx"), F.count("*").alias("weight")
+    )
+    t = agg.select(
+        "subj", F.lit("mentioned_with_w").alias("pred"), "obj",
+        "conv_id", "turn_idx", "weight",
+    )
+    return _with_provenance(t, transcripts).select(
+        "subj", "pred", "obj", "conv_id", "turn_idx", "ts", "weight"
+    )
+
+
+def all_triples(linked: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """Union of the three core predicates in schema.TRIPLES column order."""
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx", "ts", "weight"]
+    return (
+        calls_triples(linked, transcripts).select(cols)
+        .unionByName(contains_triples(linked, transcripts).select(cols))
+        .unionByName(mentioned_with_triples(linked, transcripts).select(cols))
+    )

@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Scale posture (set once, here, so every entrypoint inherits it):
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing) — the
+  local analog of what saves a 1000-executor run from a bad static plan.
+- Arrow on — every pandas UDF crosses the JVM/Python boundary in columnar
+  batches, never row-at-a-time.
+- shuffle partitions sized to cores locally; on a real cluster this is set
+  proportional to total executor cores by the submitter (see bench.py).
+- UTC session timezone so results compare bit-exactly against DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app: str = "cie_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard config."""
+    cpus = DEFAULT_CPUS
+    if master is None:
+        master = f"local[{cpus}]"
+    elif master.startswith("local[") and master != "local[*]":
+        try:
+            cpus = int(master[len("local[") : -1])
+        except ValueError:
+            pass
+    if shuffle_partitions is None:
+        # proportional to parallelism: keeps per-partition work constant as
+        # cores scale (the N vs 4N scaling-efficiency criterion depends on it)
+        shuffle_partitions = max(cpus, 8)
+
+    b = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,63 @@
+"""Entity linking tiers: dict broadcast join, fuzzy Jaccard, OOV stubs."""
+
+from __future__ import annotations
+
+from cie_spark import spec
+from cie_spark.operators.link import link_surfaces
+
+
+def _link(spark, surfaces, **kw):
+    df = spark.createDataFrame([(s,) for s in surfaces], "surface string")
+    return {
+        r.surface: (r.entity_id, r.link_tier)
+        for r in link_surfaces(spark, df, **kw).collect()
+    }
+
+
+def test_dictionary_aliases(spark):
+    got = _link(spark, ["PostgreSQL", "Postgres", "postgres-db", "pg", "K8S"])
+    assert got["PostgreSQL"] == ("ent:postgresql", "dict")
+    assert got["Postgres"] == ("ent:postgresql", "dict")
+    assert got["postgres-db"] == ("ent:postgresql", "dict")
+    assert got["pg"] == ("ent:postgresql", "dict")
+    assert got["K8S"] == ("ent:kubernetes", "dict")  # norm is case-insensitive
+
+
+def test_fuzzy_tier(spark):
+    got = _link(spark, ["PostgreSQL 14", "apache_kafka_broker"])
+    assert got["PostgreSQL 14"] == ("ent:postgresql", "fuzzy")
+    assert got["apache_kafka_broker"] == ("ent:apache-kafka", "fuzzy")
+
+
+def test_stub_tier_deterministic(spark):
+    got = _link(spark, ["FrobnicatorX"])
+    eid, tier = got["FrobnicatorX"]
+    assert tier == "stub"
+    assert eid == spec.stub_entity_id(spec.norm("FrobnicatorX"))
+    # repeatable
+    again = _link(spark, ["FrobnicatorX"])
+    assert again["FrobnicatorX"] == got["FrobnicatorX"]
+
+
+def test_lsh_blocking_is_subset_of_exact(spark):
+    surfaces = ["PostgreSQL 14", "clickhouse cluster", "FrobnicatorX", "kafka!"]
+    exact = _link(spark, surfaces, use_lsh=False)
+    lsh = _link(spark, surfaces, use_lsh=True)
+    # LSH may demote a fuzzy hit to stub (blocking miss) but never invents a
+    # different fuzzy target
+    for s in surfaces:
+        if lsh[s][1] == "fuzzy":
+            assert lsh[s] == exact[s]
+        assert exact[s][1] in ("dict", "fuzzy", "stub")
+
+
+def test_oracle_link_agrees_with_spark(spark):
+    from cie_spark import oracle
+
+    surfaces = [
+        "PostgreSQL", "Postgres", "PostgreSQL 14", "apache_kafka_broker",
+        "FrobnicatorX", "quantum-widget", "k8s", "ES cluster", "duck-db",
+    ]
+    got = _link(spark, surfaces)
+    for s in surfaces:
+        assert got[s][0] == oracle.link_surface(s), s

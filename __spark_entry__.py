@@ -230,7 +230,128 @@ def q_ann_topk_bruteforce(spark, sf_dir):
     return simsearch.topk_bruteforce(emb, list(qvec), k=10)
 
 
+def q_kg_list_tools(spark, sf_dir):
+    linked, t = _linked(spark, sf_dir)
+    return (
+        triples.calls_triples(linked, t)
+        .groupBy(F.col("obj").alias("tool_id"))
+        .agg(F.count("*").alias("n_calls"), F.countDistinct("subj").alias("n_agents"))
+    )
+
+
+def q_kg_top_entities_per_conv(spark, sf_dir):
+    from pyspark.sql import Window
+
+    linked, t = _linked(spark, sf_dir)
+    c = triples.contains_triples(linked, t)
+    w = Window.partitionBy("conv_id").orderBy(F.desc("weight"), F.asc("obj"))
+    return (
+        c.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("conv_id", F.col("obj").alias("entity_id"), "weight", "rank")
+    )
+
+
+def q_kg_find_introduction(spark, sf_dir):
+    from pyspark.sql import Window
+
+    linked, _t = _linked(spark, sf_dir)
+    ents = linked.filter(F.col("kind") == "entity")
+    w = Window.partitionBy("entity_id").orderBy("ts", "conv_id", "turn_idx", "pos")
+    return (
+        ents.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "entity_id",
+            F.col("ts").alias("first_ts"),
+            F.col("conv_id").alias("first_conv"),
+            F.col("turn_idx").alias("first_turn"),
+        )
+    )
+
+
+def q_kg_blame(spark, sf_dir):
+    t = _transcripts(spark, sf_dir)
+    return t.groupBy("conv_id", "role").agg(
+        F.count("*").alias("n_turns"), F.max("ts").alias("last_ts")
+    )
+
+
+def q_kg_call_graph(spark, sf_dir):
+    linked, t = _linked(spark, sf_dir)
+    calls = triples.calls_triples(linked, t)
+    callers = (
+        calls.filter(F.col("obj") == "tool:bash")
+        .select(F.col("subj").alias("other"), F.lit("caller").alias("direction"))
+    )
+    callees = (
+        calls.filter(F.col("subj") == "agent:conv-000000")
+        .select(F.col("obj").alias("other"), F.lit("callee").alias("direction"))
+    )
+    return callers.unionByName(callees).groupBy("other", "direction").agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_kg_entity_history(spark, sf_dir):
+    linked, t = _linked(spark, sf_dir)
+    tr = triples.all_triples(linked, t)
+    return tr.filter(
+        (F.col("subj") == "ent:postgresql") | (F.col("obj") == "ent:postgresql")
+    ).select("pred", "conv_id", "turn_idx", "ts", "weight")
+
+
+def q_kg_grep_multi(spark, sf_dir):
+    t = _transcripts(spark, sf_dir)
+    pats = ["discussed", "failed"]
+    parts = [
+        t.filter(F.col("text").contains(p)).select(
+            "conv_id", "turn_idx", F.lit(p).alias("pattern")
+        )
+        for p in pats
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u
+
+
+def q_kg_similar_entities(spark, sf_dir):
+    linked, _ = _linked(spark, sf_dir)
+    return (
+        linked.filter(F.col("kind") == "entity")
+        .select("entity_id")
+        .distinct()
+        .filter(F.col("entity_id").rlike("post|kafka"))
+    )
+
+
 # rows-only checks (no SQL-expressible oracle; verified in pytest instead)
+
+
+def q_kg_semantic_search(spark, sf_dir):
+    from cie_spark.operators.graph_queries import GraphQueries
+
+    linked, t = _linked(spark, sf_dir)
+    ents = (
+        linked.groupBy("entity_id")
+        .agg(F.min("kind").alias("kind"), F.collect_set("surface").alias("surfaces"))
+        .select(
+            "entity_id", "kind",
+            F.regexp_replace("entity_id", "^(ent:|tool:)", "").alias("canonical_name"),
+            "surfaces",
+        )
+    )
+    gq = GraphQueries(triples.all_triples(linked, t), ents, t)
+    return gq.semantic_search("postgresql database", k=10)
+
+
+def q_kg_entity_embeddings(spark, sf_dir):
+    from cie_spark.functions import mock_embedding
+
+    linked, _ = _linked(spark, sf_dir)
+    ents = linked.filter(F.col("kind") == "entity").select("entity_id").distinct()
+    return ents.select("entity_id", mock_embedding(F.col("entity_id")).alias("embedding"))
 
 
 def q_ann_topk_lsh(spark, sf_dir):
@@ -274,6 +395,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_verify_absence": q_kg_verify_absence,
         "kg_conv_activity": q_kg_conv_activity,
         "kg_full_pipeline": q_kg_full_pipeline,
+        "kg_list_tools": q_kg_list_tools,
+        "kg_top_entities_per_conv": q_kg_top_entities_per_conv,
+        "kg_find_introduction": q_kg_find_introduction,
+        "kg_blame": q_kg_blame,
+        "kg_call_graph": q_kg_call_graph,
+        "kg_entity_history": q_kg_entity_history,
+        "kg_grep_multi": q_kg_grep_multi,
+        "kg_similar_entities": q_kg_similar_entities,
+        "kg_semantic_search": q_kg_semantic_search,
+        "kg_entity_embeddings": q_kg_entity_embeddings,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -403,6 +534,53 @@ SELECT subj, pred, obj, conv_id, turn_idx, ts, weight FROM calls
 UNION ALL SELECT subj, pred, obj, conv_id, turn_idx, ts, weight FROM contains_ts
 UNION ALL SELECT m.subj, m.pred, m.obj, m.conv_id, m.turn_idx, t.ts, m.weight
 FROM mw m JOIN transcripts t ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx""",
+        "kg_list_tools": f"""{_KG_CTES}
+SELECT obj AS tool_id, count(*) AS n_calls, count(DISTINCT subj) AS n_agents
+FROM calls GROUP BY obj""",
+        "kg_top_entities_per_conv": f"""{_KG_CTES}
+SELECT conv_id, obj AS entity_id, weight, CAST(rank AS INT) AS rank FROM (
+  SELECT conv_id, obj, weight,
+         row_number() OVER (PARTITION BY conv_id ORDER BY weight DESC, obj ASC) AS rank
+  FROM contains_t
+) WHERE rank <= 3""",
+        "kg_find_introduction": f"""{_KG_CTES}, linked_ts AS (
+  SELECT l.entity_id, l.conv_id, l.turn_idx, t.ts
+  FROM linked l JOIN transcripts t
+    ON l.conv_id = t.conv_id AND l.turn_idx = t.turn_idx
+)
+SELECT entity_id, ts AS first_ts, conv_id AS first_conv, turn_idx AS first_turn
+FROM (
+  SELECT entity_id, ts, conv_id, turn_idx,
+         row_number() OVER (PARTITION BY entity_id ORDER BY ts, conv_id, turn_idx) AS rn
+  FROM linked_ts
+) WHERE rn = 1""",
+        "kg_blame": f"""{_KG_CTES}
+SELECT conv_id, role, count(*) AS n_turns, max(ts) AS last_ts
+FROM transcripts GROUP BY conv_id, role""",
+        "kg_call_graph": f"""{_KG_CTES}
+SELECT other, direction, count(*) AS n FROM (
+  SELECT subj AS other, 'caller' AS direction FROM calls WHERE obj = 'tool:bash'
+  UNION ALL
+  SELECT obj AS other, 'callee' AS direction FROM calls
+  WHERE subj = 'agent:conv-000000'
+) GROUP BY other, direction""",
+        "kg_entity_history": f"""{_KG_CTES}, allt AS (
+  SELECT subj, pred, obj, conv_id, turn_idx, ts, weight FROM calls
+  UNION ALL SELECT subj, pred, obj, conv_id, turn_idx, ts, weight FROM contains_ts
+  UNION ALL SELECT m.subj, m.pred, m.obj, m.conv_id, m.turn_idx, t.ts, m.weight
+  FROM mw m JOIN transcripts t ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx
+)
+SELECT pred, conv_id, turn_idx, ts, weight FROM allt
+WHERE subj = 'ent:postgresql' OR obj = 'ent:postgresql'""",
+        "kg_grep_multi": f"""{_KG_CTES}
+SELECT conv_id, turn_idx, 'discussed' AS pattern FROM transcripts
+WHERE text LIKE '%discussed%'
+UNION ALL
+SELECT conv_id, turn_idx, 'failed' AS pattern FROM transcripts
+WHERE text LIKE '%failed%'""",
+        "kg_similar_entities": f"""{_KG_CTES}
+SELECT DISTINCT entity_id FROM linked
+WHERE regexp_matches(entity_id, 'post|kafka')""",
         "doc_dedup_exact": """
 SELECT md5(regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fingerprint,
        count(*) AS n_dups, min(doc_id) AS keep_id

@@ -47,7 +47,7 @@ def main() -> int:
     transcripts = spark.sql(spec.TRANSCRIPTS_FROM_EVENTS_SQL)
     t0 = time.time()
     linked = link.link_mentions(spark, extract.extract_mentions(transcripts)).cache()
-    trips = triples.all_triples(linked, transcripts)
+    trips = triples.all_triples(linked)
     n_triples = trips.count()
     e2e = time.time() - t0
     timings["kg_end_to_end"] = round(e2e, 3)
@@ -56,22 +56,21 @@ def main() -> int:
     # -- operator-family queries ---------------------------------------------
     timed(
         "kg_calls_agg",
-        lambda: triples.calls_triples(linked, transcripts)
-        .groupBy("subj", "obj").count().count(),
+        lambda: triples.calls_triples(linked).groupBy("subj", "obj").count().count(),
     )
     timed(
         "kg_mentioned_with",
-        lambda: triples.mentioned_with_triples(linked, transcripts).count(),
+        lambda: triples.mentioned_with_triples(linked).count(),
     )
     timed(
         "kg_cooccur_window",
-        lambda: triples.mentioned_with_windowed(linked, transcripts).count(),
+        lambda: triples.mentioned_with_windowed(linked).count(),
     )
     linked.unpersist()
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
     timed("doc_dedup_exact", lambda: dedup.exact_groups(docs).count())
-    timed("doc_minhash_pairs", lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.5).count())
+    timed("doc_minhash_pairs", lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.8).count())
     timed("doc_simhash_pairs", lambda: dedup.simhash_pairs(docs).count())
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

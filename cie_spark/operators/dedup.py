@@ -68,27 +68,63 @@ def minhash_signatures(
 
     All built-ins: shingles via transform/slice, minhash via
     array_min(transform(xxhash64)), band sig via xxhash64 of the row mins.
-    """
-    sh = _word_shingles(F.coalesce(F.col("text"), F.lit("")), shingle_words)
 
-    def salted_hash(h: int):
-        return lambda x: F.xxhash64(F.lit(h), x)
+    Two plan-shape safeguards that matter at scale:
+    - hash the per-shingle values ONCE into an int array, then derive all
+      bands×rows minhashes from that array (naively inlining the shingle
+      expression into every band column recomputes substring work 64×);
+    - repartition before the CPU-heavy projection so a few fat input files
+      (one-partition parquet) don't serialize the whole computation.
+    """
+    spark = docs.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = docs.repartition(n_part).select(
+        "doc_id",
+        F.transform(
+            _word_shingles(F.coalesce(F.col("text"), F.lit("")), shingle_words),
+            lambda x: F.xxhash64(x),
+        ).alias("hs"),
+    )
+
+    def salted_min(h: int):
+        # one cheap re-mix per (hash-fn, shingle): xxhash64 of the base hash
+        # (1-arg lambda: F.transform treats 2-arg lambdas as (element, index))
+        def remix(v):
+            return F.xxhash64(F.lit(h), v)
+
+        return F.array_min(F.transform(F.col("hs"), remix))
 
     band_cols = []
     for b in range(bands):
-        mins = [
-            F.array_min(F.transform(sh, salted_hash(b * rows + r)))
-            for r in range(rows)
-        ]
+        mins = [salted_min(b * rows + r) for r in range(rows)]
         band_cols.append(F.xxhash64(F.lit(b), *mins))
-    return docs.select(
+    return base.select(
         "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_sig")
     )
 
 
-def minhash_candidates(docs: DataFrame, **kw) -> DataFrame:
-    """Candidate near-dup pairs (a < b) sharing >= 1 LSH band."""
-    sig = minhash_signatures(docs, **kw)
+def minhash_candidates(
+    docs: DataFrame, *, max_bucket: int = 64, **kw
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing >= 1 LSH band.
+
+    Buckets larger than `max_bucket` are dropped before the self-join: a hot
+    bucket is quadratic (the skew hazard at scale), and an over-full bucket
+    is either a degenerate signature (low-entropy text) or a giant exact-dup
+    cluster better handled by `exact_groups`. This is the LSH analog of
+    salting a hot key — the standard web-dedup practice. NB: pairs living
+    ONLY in oversized buckets are not candidates (recall trade, documented).
+    """
+    # persist: the signature frame feeds the bucket-size census AND both
+    # sides of the self-join — without it the minhash projection runs 3×
+    sig = minhash_signatures(docs, **kw).persist()
+    small = (
+        sig.groupBy("band_idx", "band_sig")
+        .count()
+        .filter(F.col("count") <= max_bucket)
+        .drop("count")
+    )
+    sig = sig.join(small, on=["band_idx", "band_sig"], how="left_semi")
     return (
         sig.alias("x")
         .join(sig.alias("y"), on=["band_idx", "band_sig"])
@@ -104,11 +140,20 @@ def ngram_jaccard_pairs(
     docs: DataFrame, *, threshold: float = 0.8, shingle_words: int = 3, **kw
 ) -> DataFrame:
     """Near-dup pairs with exact word-shingle Jaccard >= threshold, verified
-    on LSH candidates only (blocking-then-verify)."""
+    on LSH candidates only (blocking-then-verify). Band rows auto-tighten
+    for high thresholds (S-curve: collision p = 1-(1-j^rows)^bands)."""
+    kw.setdefault("rows", 4 if threshold >= 0.7 else 2)
     cands = minhash_candidates(docs, shingle_words=shingle_words, **kw)
-    sh = docs.select(
-        "doc_id",
-        _word_shingles(F.coalesce(F.col("text"), F.lit("")), shingle_words).alias("sh"),
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sh = (
+        docs.repartition(n_part)
+        .select(
+            "doc_id",
+            _word_shingles(
+                F.coalesce(F.col("text"), F.lit("")), shingle_words
+            ).alias("sh"),
+        )
+        .persist()
     )
     j = (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), on="doc_a")
@@ -123,37 +168,54 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_col(text_col, bits: int = 64):
-    """64-bit simhash over word tokens — pure expressions.
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
 
-    Classic simhash sums +1/-1 per bit weighted by token hash; here, for
-    each bit position we count tokens whose xxhash64 has that bit set and
-    compare against half the token count. Deterministic, vectorized.
+
+@F.pandas_udf(T.LongType())
+def _simhash64_udf(texts: pd.Series) -> pd.Series:
+    """64-bit simhash, Arrow-vectorized (one numpy pass per batch).
+
+    Classic simhash: bit b of the signature is set iff the majority of token
+    hashes have bit b set. Token hash = pandas `hash_array` (vectorized
+    SipHash with a fixed key — deterministic across processes). A
+    pure-expression formulation (64 filter/size passes) generates
+    pathological codegen — measured 40 s vs seconds on 5k docs — so this is
+    the documented 'custom operator -> vectorized pandas UDF' escape hatch.
+    Per-token Python hashing is avoided too: all batch tokens are flattened
+    and hashed in one C call, then segment-reduced with np.add.reduceat.
     """
-    words = F.filter(
-        F.split(F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", " "), " "),
-        lambda w: F.length(w) > 0,
+    shifts = np.arange(64, dtype=np.uint64)
+    n = len(texts)
+    tok_lists = [
+        t.lower().split() if isinstance(t, str) else [] for t in texts
+    ]
+    lens = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
+    out = np.zeros(n, dtype=np.int64)
+    nonzero = lens > 0
+    if not nonzero.any():
+        return pd.Series(out)
+    flat = np.concatenate(
+        [np.asarray(ts, dtype=object) for ts in tok_lists if ts]
     )
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-    n = F.size(hashes)
-    def mask(b: int) -> int:
-        """Signed-64 literal with bit b set (bit 63 = long min value)."""
-        return (1 << b) if b < 63 else -(1 << 63)
+    hs = pd.util.hash_array(flat)  # uint64, vectorized, process-stable
+    bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)  # T×64
+    starts = np.zeros(int(nonzero.sum()), dtype=np.int64)
+    np.cumsum(lens[nonzero][:-1], out=starts[1:])
+    ones = np.add.reduceat(bits, starts, axis=0)  # docs×64
+    mask = ones * 2 >= lens[nonzero][:, None]
+    sigs = np.zeros(mask.shape[0], dtype=np.uint64)
+    for b in range(64):
+        sigs |= mask[:, b].astype(np.uint64) << np.uint64(b)
+    out[nonzero] = sigs.view(np.int64)
+    return pd.Series(out)
 
-    def has_bit(m: int):
-        # NB: F.filter treats a 2-arg lambda as (element, index) — keep 1-arg
-        return lambda h: h.bitwiseAND(F.lit(m)) != 0
 
-    bit_exprs = []
-    for b in range(bits):
-        ones = F.size(F.filter(hashes, has_bit(mask(b))))
-        bit_exprs.append(
-            F.when(ones * 2 >= n, F.lit(mask(b))).otherwise(F.lit(0).cast("long"))
-        )
-    total = bit_exprs[0]
-    for e in bit_exprs[1:]:
-        total = total.bitwiseOR(e)
-    return F.when(n > 0, total).otherwise(F.lit(0).cast("long"))
+def simhash_col(text_col, bits: int = 64):
+    """64-bit simhash over word tokens (see _simhash64_udf)."""
+    assert bits == 64
+    return _simhash64_udf(text_col)
 
 
 def simhash_pairs(docs: DataFrame, *, max_hamming: int = 3, bands: int = 4) -> DataFrame:
@@ -162,7 +224,14 @@ def simhash_pairs(docs: DataFrame, *, max_hamming: int = 3, bands: int = 4) -> D
     Blocking: split the 64-bit simhash into `bands` 16-bit bands; by
     pigeonhole, any pair within hamming distance < bands shares at least one
     exact band -> equi-join per band, verify with bit_count(xor)."""
-    sh = docs.select("doc_id", simhash_col(F.col("text")).alias("sh"))
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # repartition before the UDF (fat single-file inputs), persist: the
+    # signature feeds both sides of the self-join
+    sh = (
+        docs.repartition(n_part)
+        .select("doc_id", simhash_col(F.col("text")).alias("sh"))
+        .persist()
+    )
     parts = sh.select(
         "doc_id",
         "sh",

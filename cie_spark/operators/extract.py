@@ -31,8 +31,7 @@ from cie_spark import schema, spec
 
 
 def _extract_batch(pdf: pd.DataFrame, prose: bool) -> pd.DataFrame:
-    conv_ids: list[str] = []
-    turn_idxs: list[int] = []
+    rows_idx: list[int] = []  # source row index -> conv/turn/ts lookup
     kinds: list[str] = []
     surfaces: list[str] = []
     tiers: list[str] = []
@@ -45,12 +44,12 @@ def _extract_batch(pdf: pd.DataFrame, prose: bool) -> pd.DataFrame:
     texts = pdf["text"]
     roles = pdf["role"]
     tools = pdf["tool"]
-    convs = pdf["conv_id"]
-    turns = pdf["turn_idx"]
+
+    def emit(i: int, kind: str, surface: str, tier: str, pos: int) -> None:
+        rows_idx.append(i); kinds.append(kind)
+        surfaces.append(surface); tiers.append(tier); positions.append(pos)
 
     for i in range(len(pdf)):
-        conv = convs.iat[i]
-        turn = int(turns.iat[i])
         text = texts.iat[i]
         pos = 0
         seen_tools: set[str] = set()
@@ -59,9 +58,7 @@ def _extract_batch(pdf: pd.DataFrame, prose: bool) -> pd.DataFrame:
         if roles.iat[i] == "tool":
             t = tools.iat[i]
             if isinstance(t, str) and t:
-                conv_ids.append(conv); turn_idxs.append(turn)
-                kinds.append("tool"); surfaces.append(t)
-                tiers.append("column"); positions.append(pos)
+                emit(i, "tool", t, "column", pos)
                 seen_tools.add(t); pos += 1
 
         if not isinstance(text, str) or not text:
@@ -73,17 +70,13 @@ def _extract_batch(pdf: pd.DataFrame, prose: bool) -> pd.DataFrame:
             if name in seen_tools:
                 continue
             seen_tools.add(name)
-            conv_ids.append(conv); turn_idxs.append(turn)
-            kinds.append("tool"); surfaces.append(name)
-            tiers.append("marker"); positions.append(pos); pos += 1
+            emit(i, "tool", name, "marker", pos); pos += 1
 
         # entity marker tier: [[Surface]]
         marker_span_ends: list[tuple[int, int]] = []
         for m in marker_re.finditer(text):
             marker_span_ends.append(m.span())
-            conv_ids.append(conv); turn_idxs.append(turn)
-            kinds.append("entity"); surfaces.append(m.group(1))
-            tiers.append("marker"); positions.append(pos); pos += 1
+            emit(i, "entity", m.group(1), "marker", pos); pos += 1
 
         # prose tier: dictionary whole-word matches outside marker spans
         if prose_re is not None:
@@ -91,18 +84,18 @@ def _extract_batch(pdf: pd.DataFrame, prose: bool) -> pd.DataFrame:
                 s, e = m.span()
                 if any(ms <= s and e <= me for ms, me in marker_span_ends):
                     continue
-                conv_ids.append(conv); turn_idxs.append(turn)
-                kinds.append("entity"); surfaces.append(m.group(1))
-                tiers.append("prose"); positions.append(pos); pos += 1
+                emit(i, "entity", m.group(1), "prose", pos); pos += 1
 
+    idx = pd.Index(rows_idx)
     return pd.DataFrame(
         {
-            "conv_id": pd.Series(conv_ids, dtype="object"),
-            "turn_idx": pd.Series(turn_idxs, dtype="int32"),
+            "conv_id": pdf["conv_id"].take(idx).reset_index(drop=True),
+            "turn_idx": pdf["turn_idx"].take(idx).reset_index(drop=True).astype("int32"),
             "kind": pd.Series(kinds, dtype="object"),
             "surface": pd.Series(surfaces, dtype="object"),
             "tier": pd.Series(tiers, dtype="object"),
             "pos": pd.Series(positions, dtype="int32"),
+            "ts": pdf["ts"].take(idx).reset_index(drop=True),
         }
     )
 
@@ -111,10 +104,11 @@ def extract_mentions(transcripts: DataFrame, *, prose: bool = True) -> DataFrame
     """transcripts -> mentions DataFrame (schema.MENTIONS).
 
     `prose=False` restricts to the SQL-expressible tiers (column + marker),
-    used when comparing against ANSI-SQL oracles.
+    used when comparing against ANSI-SQL oracles. The `ts` provenance column
+    rides along so no downstream stage re-joins the transcript table.
     """
 
-    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

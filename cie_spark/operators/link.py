@@ -95,8 +95,10 @@ def link_surfaces(
         .withColumn("surface_norm", CF.norm_col("surface"))
     )
 
-    # tier 1: exact dictionary broadcast join
-    t1 = distinct.join(F.broadcast(dic), on="surface_norm", how="left")
+    # tier 1: exact dictionary broadcast join. The distinct-surface frame is
+    # vocabulary-bounded (not corpus-bounded) and feeds several tiers below —
+    # persist it so the (potentially 100-TB) upstream is computed once.
+    t1 = distinct.join(F.broadcast(dic), on="surface_norm", how="left").persist()
     hit = t1.filter(F.col("entity_id").isNotNull()).select(
         "surface", "surface_norm", "entity_id", F.lit("dict").alias("link_tier")
     )
@@ -160,7 +162,12 @@ def link_mentions(spark: SparkSession, mentions: DataFrame) -> DataFrame:
     Tool mentions link trivially as 'tool:<name>'; entity mentions go through
     the 3-tier linker. The surface->entity map is small (distinct surfaces),
     so the final join back onto the 10^12-row mention stream is broadcast.
+
+    The mention stream feeds two branches (entity + tool) and the linker's
+    distinct-surface scan — persist it so extraction (the expensive
+    UDF-over-full-text pass) runs exactly once.
     """
+    mentions = mentions.persist()
     ents = mentions.filter(F.col("kind") == "entity")
     linkmap = link_surfaces(spark, ents.select("surface"))
     linked_ents = ents.join(

@@ -11,6 +11,10 @@ per BASELINE.json north_star:
 
 Scale design
 ------------
+- Provenance (`ts`) rides on the mention rows from extraction, so NO stage
+  here joins back to the transcript table — the 100-TB scan happens exactly
+  once. First-mention timestamps come from `min_by(ts, turn_idx)` inside the
+  same aggregation that computes the weight.
 - Co-occurrence is the quadratic hazard (a mega-conversation with 10^5
   mentions must NOT self-join freely). Within-turn pairs are bounded by
   mentions-per-turn (small constant). The cross-turn variant joins on
@@ -19,8 +23,6 @@ Scale design
   conversation length. This *is* the salting of the skew key: the hot
   conv_id is split across blocks, so no single reducer sees a whole
   mega-conversation.
-- All triple rows carry (conv_id, turn_idx, ts) provenance so Q26-Q28-style
-  history queries are plain filters/aggregations over the edge table.
 """
 
 from __future__ import annotations
@@ -30,81 +32,89 @@ from pyspark.sql import functions as F
 
 from cie_spark import spec
 
-
-def _with_provenance(df: DataFrame, transcripts: DataFrame) -> DataFrame:
-    """Attach ts from transcripts by (conv_id, turn_idx)."""
-    prov = transcripts.select("conv_id", "turn_idx", "ts")
-    return df.join(prov, on=["conv_id", "turn_idx"], how="left")
+TRIPLE_COLS = ["subj", "pred", "obj", "conv_id", "turn_idx", "ts", "weight"]
 
 
-def calls_triples(linked: DataFrame, transcripts: DataFrame) -> DataFrame:
+def calls_triples(linked: DataFrame, _transcripts: DataFrame | None = None) -> DataFrame:
     """(agent:<conv>, calls, tool:<name>) one row per tool mention."""
-    t = linked.filter(F.col("kind") == "tool").select(
+    return linked.filter(F.col("kind") == "tool").select(
         F.concat(F.lit("agent:"), F.col("conv_id")).alias("subj"),
         F.lit("calls").alias("pred"),
         F.col("entity_id").alias("obj"),
         "conv_id",
         "turn_idx",
+        "ts",
+        F.lit(1).cast("long").alias("weight"),
     )
-    return _with_provenance(t, transcripts).withColumn("weight", F.lit(1).cast("long"))
 
 
-def contains_triples(linked: DataFrame, transcripts: DataFrame) -> DataFrame:
+def contains_triples(linked: DataFrame, _transcripts: DataFrame | None = None) -> DataFrame:
     """(conv:<conv>, contains, entity) distinct per conversation; provenance
     = first mention (min turn_idx) — deterministic."""
     ents = linked.filter(F.col("kind") == "entity")
     firsts = ents.groupBy("conv_id", "entity_id").agg(
-        F.min("turn_idx").alias("turn_idx"), F.count("*").alias("weight")
+        F.min("turn_idx").alias("turn_idx"),
+        F.min_by("ts", "turn_idx").alias("ts"),
+        F.count("*").alias("weight"),
     )
-    t = firsts.select(
+    return firsts.select(
         F.concat(F.lit("conv:"), F.col("conv_id")).alias("subj"),
         F.lit("contains").alias("pred"),
         F.col("entity_id").alias("obj"),
         "conv_id",
         "turn_idx",
+        "ts",
         "weight",
     )
-    return _with_provenance(t, transcripts).select(
-        "subj", "pred", "obj", "conv_id", "turn_idx", "ts", "weight"
-    )
 
 
-def mentioned_with_triples(linked: DataFrame, transcripts: DataFrame) -> DataFrame:
+def mentioned_with_triples(linked: DataFrame, _transcripts: DataFrame | None = None) -> DataFrame:
     """Within-turn co-occurrence pairs of distinct canonical entities.
 
     Pair orientation subj < obj; weight = number of co-occurring turns for
     that (conv, pair); provenance = first such turn.
     """
-    ents = (
+    # one shuffle: per-turn entity sets (mentions/turn is a small constant,
+    # so collect_set cannot skew), then in-row pair expansion — replaces the
+    # dedup + self-join formulation (3 shuffles) with groupBy + explode (1)
+    per_turn = (
         linked.filter(F.col("kind") == "entity")
-        .select("conv_id", "turn_idx", "entity_id")
-        .dropDuplicates(["conv_id", "turn_idx", "entity_id"])
-    )
-    pairs = (
-        ents.alias("a")
-        .join(ents.alias("b"), on=["conv_id", "turn_idx"])
-        .filter(F.col("a.entity_id") < F.col("b.entity_id"))
-        .select(
-            F.col("a.entity_id").alias("subj"),
-            F.col("b.entity_id").alias("obj"),
-            "conv_id",
-            "turn_idx",
+        .groupBy("conv_id", "turn_idx")
+        .agg(
+            F.sort_array(F.collect_set("entity_id")).alias("es"),
+            F.min("ts").alias("ts"),
         )
     )
+    combos = F.flatten(
+        F.expr(
+            "transform(es, (x, i) -> "
+            "transform(slice(es, i + 2, size(es)), y -> struct(x AS s, y AS o)))"
+        )
+    )
+    pairs = per_turn.select(
+        "conv_id", "turn_idx", "ts", F.explode(combos).alias("p")
+    ).select(
+        F.col("p.s").alias("subj"),
+        F.col("p.o").alias("obj"),
+        "conv_id",
+        "turn_idx",
+        "ts",
+    )
     agg = pairs.groupBy("subj", "obj", "conv_id").agg(
-        F.min("turn_idx").alias("turn_idx"), F.count("*").alias("weight")
+        F.min("turn_idx").alias("turn_idx"),
+        F.min_by("ts", "turn_idx").alias("ts"),
+        F.count("*").alias("weight"),
     )
-    t = agg.select(
+    return agg.select(
         "subj", F.lit("mentioned_with").alias("pred"), "obj",
-        "conv_id", "turn_idx", "weight",
-    )
-    return _with_provenance(t, transcripts).select(
-        "subj", "pred", "obj", "conv_id", "turn_idx", "ts", "weight"
+        "conv_id", "turn_idx", "ts", "weight",
     )
 
 
 def mentioned_with_windowed(
-    linked: DataFrame, transcripts: DataFrame, window_turns: int = spec.WINDOW_TURNS
+    linked: DataFrame,
+    _transcripts: DataFrame | None = None,
+    window_turns: int = spec.WINDOW_TURNS,
 ) -> DataFrame:
     """Cross-turn co-occurrence within `window_turns`, turn-block salted.
 
@@ -115,13 +125,14 @@ def mentioned_with_windowed(
     w = window_turns
     ents = (
         linked.filter(F.col("kind") == "entity")
-        .select("conv_id", "turn_idx", "entity_id")
+        .select("conv_id", "turn_idx", "entity_id", "ts")
         .dropDuplicates(["conv_id", "turn_idx", "entity_id"])
     )
     left = ents.select(
         "conv_id",
         F.col("turn_idx").alias("ti"),
         F.col("entity_id").alias("ea"),
+        F.col("ts").alias("ts_i"),
         F.explode(
             F.array(
                 (F.col("turn_idx") / w).cast("long"),
@@ -145,26 +156,25 @@ def mentioned_with_windowed(
             "conv_id",
             F.col("ti").alias("turn_idx"),
             "tj",
+            F.col("ts_i").alias("ts"),
         )
         .dropDuplicates(["subj", "obj", "conv_id", "turn_idx", "tj"])
     )
     agg = pairs.groupBy("subj", "obj", "conv_id").agg(
-        F.min("turn_idx").alias("turn_idx"), F.count("*").alias("weight")
+        F.min("turn_idx").alias("turn_idx"),
+        F.min_by("ts", "turn_idx").alias("ts"),
+        F.count("*").alias("weight"),
     )
-    t = agg.select(
+    return agg.select(
         "subj", F.lit("mentioned_with_w").alias("pred"), "obj",
-        "conv_id", "turn_idx", "weight",
-    )
-    return _with_provenance(t, transcripts).select(
-        "subj", "pred", "obj", "conv_id", "turn_idx", "ts", "weight"
+        "conv_id", "turn_idx", "ts", "weight",
     )
 
 
-def all_triples(linked: DataFrame, transcripts: DataFrame) -> DataFrame:
+def all_triples(linked: DataFrame, _transcripts: DataFrame | None = None) -> DataFrame:
     """Union of the three core predicates in schema.TRIPLES column order."""
-    cols = ["subj", "pred", "obj", "conv_id", "turn_idx", "ts", "weight"]
     return (
-        calls_triples(linked, transcripts).select(cols)
-        .unionByName(contains_triples(linked, transcripts).select(cols))
-        .unionByName(mentioned_with_triples(linked, transcripts).select(cols))
+        calls_triples(linked).select(TRIPLE_COLS)
+        .unionByName(contains_triples(linked).select(TRIPLE_COLS))
+        .unionByName(mentioned_with_triples(linked).select(TRIPLE_COLS))
     )

@@ -29,6 +29,9 @@ MENTIONS = T.StructType(
         T.StructField("surface", T.StringType(), False),
         T.StructField("tier", T.StringType(), False),  # 'column'|'marker'|'prose'
         T.StructField("pos", T.IntegerType(), False),  # ordinal within turn
+        # provenance carried through extraction so downstream stages never
+        # join back to the (100-TB) transcript table for timestamps
+        T.StructField("ts", T.TimestampType(), True),
     ]
 )
 

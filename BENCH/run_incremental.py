@@ -1,0 +1,78 @@
+"""Incremental-reindex benchmark: the analog of the reference's
+'incremental indexing, 10 changed files: ~3-5 s vs ~2 min full (≈40×)'
+(reference docs/architecture.md:419-421).
+
+Full pipeline over N conversations, then mutate K conversations and re-run
+incrementally; reports both durations and the speedup. Usage:
+
+    python BENCH/run_incremental.py [--convs 20000] [--changed 10] [--cores 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--convs", type=int, default=20000)
+    ap.add_argument("--avg-turns", type=int, default=40)
+    ap.add_argument("--changed", type=int, default=10)
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from cie_spark.plans.pipeline import KGPipeline
+    from cie_spark.session import get_spark
+    from cie_spark.sources.gen import generate_transcripts
+
+    spark = get_spark(
+        app="cie_incremental_bench",
+        master=f"local[{args.cores}]",
+        shuffle_partitions=args.cores,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    wh = tempfile.mkdtemp(prefix="cie_incr_")
+    try:
+        t = generate_transcripts(spark, n_convs=args.convs, avg_turns=args.avg_turns)
+        pipe = KGPipeline(spark, wh)
+        full = pipe.run(t, incremental=True)
+
+        changed_ids = [f"conv-{i:06d}" for i in range(args.changed)]
+        mutated = t.withColumn(
+            "text",
+            F.when(
+                F.col("conv_id").isin(changed_ids) & (F.col("turn_idx") == 1),
+                F.lit("edited: now about [[Terraform]] and [[Grafana]]"),
+            ).otherwise(F.col("text")),
+        )
+        incr = pipe.run(mutated, incremental=True)
+
+        out = {
+            "convs": args.convs,
+            "changed": args.changed,
+            "full_seconds": round(full["seconds"], 2),
+            "full_triples": full["triples"],
+            "incremental_seconds": round(incr["seconds"], 2),
+            "incremental_triples": incr["triples"],
+            "speedup": round(full["seconds"] / incr["seconds"], 1)
+            if incr["seconds"]
+            else None,
+        }
+        print(json.dumps(out))
+        return 0
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -41,8 +41,16 @@ def run_once(cores: int, convs: int, avg_turns: int, tmp: str, zpath: str) -> di
     wh = os.path.join(tmp, f"wh_{cores}")
     shutil.rmtree(wh, ignore_errors=True)
     cmd = [
+        # pin the whole process tree (JVM + GC threads + python workers) to
+        # exactly `cores` CPUs: without this, a local[N] run on a bigger box
+        # leaks python-worker/GC work onto idle cores, inflating the N-core
+        # baseline and understating true scaling efficiency
+        "taskset", "-c", f"0-{cores - 1}",
         "spark-submit",
         "--master", f"local[{cores}]",
+        # driver memory must be set at JVM launch (builder conf is too late
+        # under spark-submit); local mode = driver hosts the executors
+        "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "24g"),
         "--conf", f"spark.sql.shuffle.partitions={cores}",
         "--conf", "spark.ui.enabled=false",
         "--py-files", zpath,

@@ -377,6 +377,46 @@ def q_kg_full_pipeline(spark, sf_dir):
     return triples.all_triples(linked, t)
 
 
+def q_kg_agents_with_toolset(spark, sf_dir):
+    """Q23 analog (find_implementations): set-containment — agents whose
+    called-tool set contains ALL required tools (collect_set + forall)."""
+    linked, t = _linked(spark, sf_dir)
+    required = ["tool:bash", "tool:search"]
+    agents = (
+        triples.calls_triples(linked, t)
+        .groupBy("subj")
+        .agg(F.collect_set("obj").alias("tools"))
+    )
+    has_all = F.forall(
+        F.array(*[F.lit(r) for r in required]),
+        lambda r: F.array_contains(F.col("tools"), r),
+    )
+    return agents.filter(has_all).select(
+        "subj", F.size("tools").alias("n_tools")
+    )
+
+
+def q_kg_calls_with_arg_over_50(spark, sf_dir):
+    """Q24 analog (find_by_signature): coarse rlike prefilter + precise
+    parse of the extracted argument, post-filtered."""
+    t = _transcripts(spark, sf_dir)
+    pre = t.filter(F.col("text").rlike(r"with arg [0-9]+"))
+    arg = F.regexp_extract(F.col("text"), r"with arg ([0-9]+)", 1).cast("int")
+    return (
+        pre.withColumn("arg", arg)
+        .filter(F.col("arg") > 50)
+        .select("conv_id", "turn_idx", "tool", "arg")
+    )
+
+
+def q_doc_jaccard_pairs_exact(spark, sf_dir):
+    return dedup.jaccard_pairs_exact(_docs(spark, sf_dir), threshold=0.8)
+
+
+def q_emb_near_dup_exact(spark, sf_dir):
+    return simsearch.cosine_near_dup_exact(_emb(spark, sf_dir), threshold=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_transcripts": q_kg_transcripts,
@@ -415,6 +455,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_near_dup": q_emb_near_dup,
+        "doc_jaccard_pairs_exact": q_doc_jaccard_pairs_exact,
+        "emb_near_dup_exact": q_emb_near_dup_exact,
+        "kg_agents_with_toolset": q_kg_agents_with_toolset,
+        "kg_calls_with_arg_over_50": q_kg_calls_with_arg_over_50,
     }
 
 
@@ -619,6 +663,47 @@ SELECT doc_id,
   md5(regexp_replace(trim(lower(coalesce(text,''))), '\\s+', ' ', 'g')) AS fingerprint,
   CAST(length(regexp_replace(trim(lower(coalesce(text,''))), '\\s+', ' ', 'g')) AS INT) AS norm_len
 FROM documents""",
+        "kg_agents_with_toolset": f"""{_KG_CTES}
+SELECT subj, CAST(count(DISTINCT obj) AS INT) AS n_tools
+FROM calls GROUP BY subj
+HAVING max(CASE WHEN obj = 'tool:bash' THEN 1 ELSE 0 END) = 1
+   AND max(CASE WHEN obj = 'tool:search' THEN 1 ELSE 0 END) = 1""",
+        "kg_calls_with_arg_over_50": f"""{_KG_CTES}
+SELECT conv_id, turn_idx, tool,
+       CAST(regexp_extract(text, 'with arg ([0-9]+)', 1) AS INT) AS arg
+FROM transcripts
+WHERE regexp_matches(text, 'with arg [0-9]+')
+  AND CAST(regexp_extract(text, 'with arg ([0-9]+)', 1) AS INT) > 50""",
+        "doc_jaccard_pairs_exact": """
+WITH arr AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS a
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(a) >= 3 THEN
+      list_distinct(list_transform(generate_series(1, len(a) - 2),
+        i -> a[i] || ' ' || a[i + 1] || ' ' || a[i + 2]))
+    ELSE [array_to_string(a, ' ')] END AS sh
+  FROM arr
+),
+pairs AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      / len(list_distinct(x.sh || y.sh)) AS j
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.8""",
+        "emb_near_dup_exact": """
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS s
+  FROM d a JOIN d b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(s, 4) AS sim FROM p WHERE s >= 0.5""",
         "ann_topk_bruteforce": """
 WITH q AS (
   SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0

@@ -62,6 +62,19 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("one of --events / --transcripts / --synthetic-convs required")
         return 2
 
+    # warm up executor python workers + Arrow path before the measured run
+    # (a long-lived cluster amortizes this across jobs; a cold local JVM
+    # would otherwise charge worker-import time to the first stage)
+    import pandas as pd  # noqa: F401
+
+    def _noop(batches):
+        for b in batches:
+            yield b
+
+    spark.range(spark.sparkContext.defaultParallelism * 2).mapInPandas(
+        _noop, "id long"
+    ).count()
+
     pipe = KGPipeline(spark, args.warehouse)
     metrics = pipe.run(
         transcripts, incremental=not args.full, prose=not args.no_prose

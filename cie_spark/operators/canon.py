@@ -101,6 +101,11 @@ def canonicalize_linkmap(linkmap: DataFrame) -> DataFrame:
         .filter(F.col("src") < F.col("dst"))
         .dropDuplicates(["src", "dst"])
     )
+    # common case: every surface maps to exactly one id -> no chains to
+    # close; skip the iterative loop (its driver-side rounds are fixed
+    # serial cost that would cap scaling efficiency)
+    if pairs.isEmpty():
+        return linkmap
     comp = connected_components(pairs)
     return (
         linkmap.join(

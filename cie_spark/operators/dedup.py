@@ -168,6 +168,50 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_pairs_exact(
+    docs: DataFrame, *, threshold: float = 0.8, shingle_words: int = 3
+) -> DataFrame:
+    """EXACT near-dup pairs by word-shingle Jaccard >= threshold.
+
+    Candidate generation by inverted shingle index (equi-join on shingle):
+    complete for any threshold > 0, since J(a,b) > 0 implies a shared
+    shingle. At web scale you'd add prefix-filtering / frequent-shingle
+    pruning (threshold-aware bounds) before the join; the minhash-LSH
+    variant (`ngram_jaccard_pairs`) is the sub-linear approximate path.
+    This exact form is the correctness baseline and the DuckDB-oracle twin.
+    """
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sh = (
+        docs.repartition(n_part)
+        .select(
+            "doc_id",
+            _word_shingles(
+                F.coalesce(F.col("text"), F.lit("")), shingle_words
+            ).alias("sh"),
+        )
+        .persist()
+    )
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    cand = (
+        inv.alias("x")
+        .join(inv.alias("y"), on="shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    j = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), on="doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), on="doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        j.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
 from pyspark.sql import types as T  # noqa: E402

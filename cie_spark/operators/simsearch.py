@@ -143,3 +143,20 @@ def make_planes_from_df(
 ) -> list[list[float]]:
     dim = len(vectors.select(vec_col).first()[0])
     return make_planes(dim, n_planes, seed)
+
+
+def cosine_near_dup_exact(
+    vectors: DataFrame, threshold: float = 0.9,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT embedding near-dup pairs (a<b, cosine >= threshold): all-pairs
+    self-join. Quadratic — the correctness baseline / oracle twin; use
+    `cosine_near_dup_pairs` (signature-bucketed) at scale."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine_sim(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+    )

@@ -133,13 +133,14 @@ def mentioned_with_windowed(
         F.col("turn_idx").alias("ti"),
         F.col("entity_id").alias("ea"),
         F.col("ts").alias("ts_i"),
+        # the two blocks are always distinct (b, b+1) -> no dedup needed
         F.explode(
             F.array(
                 (F.col("turn_idx") / w).cast("long"),
                 (F.col("turn_idx") / w).cast("long") + 1,
             )
         ).alias("block"),
-    ).dropDuplicates(["conv_id", "ti", "ea", "block"])
+    )
     right = ents.select(
         "conv_id",
         F.col("turn_idx").alias("tj"),

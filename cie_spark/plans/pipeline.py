@@ -88,7 +88,7 @@ class KGPipeline:
             F.sha2(F.concat_ws("", F.sort_array(F.collect_list(row_h))), 256).alias(
                 "conv_hash"
             ),
-            F.count("*").alias("n_turns"),
+            F.count("*").cast("long").alias("n_turns"),
         )
 
     def delta_convs(self, transcripts: DataFrame) -> DataFrame:
@@ -120,22 +120,30 @@ class KGPipeline:
         lineage_rows: list[dict] = []
         t0 = time.time()
 
-        # 1. source / delta
+        # 1. source / delta. NB: the transcript frame (with its fat `text`
+        # column) is deliberately NOT cached — it is scanned exactly twice
+        # (conv-hash delta + extraction); caching ~100 TB of text trades two
+        # columnar scans for GC/storage pressure that caps throughput.
         started = _now()
         if incremental:
             delta = self.delta_convs(transcripts).cache()
-            n_delta = delta.count()
+        else:
+            delta = self._conv_hashes(transcripts).cache()
+        # one action: delta count + affected-turn total together
+        n_delta, rows_in = delta.agg(
+            F.count("*"), F.coalesce(F.sum("n_turns"), F.lit(0))
+        ).first()
+        n_delta, rows_in = int(n_delta), int(rows_in)
+        if incremental:
             scoped = transcripts.join(
-                delta.select("conv_id").hint("broadcast") if n_delta < 100_000 else delta.select("conv_id"),
+                delta.select("conv_id").hint("broadcast")
+                if n_delta < 100_000
+                else delta.select("conv_id"),
                 on="conv_id",
                 how="left_semi",
             )
         else:
-            delta = self._conv_hashes(transcripts).cache()
-            n_delta = delta.count()
             scoped = transcripts
-        scoped = scoped.cache()
-        rows_in = scoped.count()
         lineage_rows.append(
             dict(stage="source", rows_in=rows_in, rows_out=rows_in,
                  partition_key=f"convs={n_delta}", started=started, finished=_now())
@@ -146,19 +154,20 @@ class KGPipeline:
             return {"run_id": run_id, "rows_in": 0, "triples": 0,
                     "seconds": time.time() - t0, "skipped": True}
 
-        # 2. extract
+        # 2. extract (no separate count: the first linking action
+        # materializes this cache, and n_mentions == n_linked by
+        # construction — linking is row-preserving)
         started = _now()
         mentions = extract.extract_mentions(scoped, prose=prose).cache()
-        n_mentions = mentions.count()
-        lineage_rows.append(
-            dict(stage="extract", rows_in=rows_in, rows_out=n_mentions,
-                 started=started, finished=_now())
-        )
+        extract_started = started
 
         # 3. link (+ 4. canon on the small distinct-surface link map)
         started = _now()
         ents = mentions.filter(F.col("kind") == "entity")
-        linkmap = link.link_surfaces(self.spark, ents.select("surface"))
+        # cache the raw linkmap before canonicalization: the alias-closure
+        # check self-joins it, and re-deriving the fuzzy-tier DAG (heavy
+        # codegen) twice is pure fixed cost
+        linkmap = link.link_surfaces(self.spark, ents.select("surface")).cache()
         linkmap = canon.canonicalize_linkmap(linkmap).cache()
         n_surfaces = linkmap.count()
         linked_ents = ents.join(
@@ -172,6 +181,11 @@ class KGPipeline:
         )
         linked = linked_ents.select(*tool_rows.columns).unionByName(tool_rows).cache()
         n_linked = linked.count()
+        n_mentions = n_linked  # linking is row-preserving
+        lineage_rows.append(
+            dict(stage="extract", rows_in=rows_in, rows_out=n_mentions,
+                 started=extract_started, finished=started)
+        )
         lineage_rows.append(
             dict(stage="link+canon", rows_in=n_mentions, rows_out=n_linked,
                  partition_key=f"surfaces={n_surfaces}",
@@ -198,6 +212,8 @@ class KGPipeline:
             trips, keys=["subj", "pred", "obj", "conv_id", "turn_idx"],
             partition_by=["pred"],
         )
+        from cie_spark.functions import mock_embedding
+
         ent_df = (
             linked.groupBy("entity_id")
             .agg(
@@ -211,6 +227,12 @@ class KGPipeline:
                     "canonical_name"
                 ),
                 "surfaces",
+                # A19 analog: vectorized (deterministic) embedding enrich of
+                # the vertex table — swap mock_embedding for a real provider
+                # UDF in production; the dataflow is identical
+                mock_embedding(
+                    F.regexp_replace("entity_id", "^(ent:|tool:)", "")
+                ).alias("embedding"),
             )
         )
         self.entities.merge(ent_df, keys=["entity_id"])

@@ -56,6 +56,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # local mode: shuffle/spill to tmpfs when available — with 32 task
+    # threads in one JVM, disk-backed shuffle files serialize on I/O and
+    # cap scaling; a real cluster gets this from NVMe-local scratch
+    if os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        b = b.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -121,8 +121,12 @@ def generate_transcripts(
 
     tool_col = F.when(role == "tool", tool_name).otherwise(F.lit(None).cast("string"))
 
+    # conv start offsets wrap at 10^6 so timestamps stay inside the pandas
+    # ns-precision range (year <= 2262) at any corpus size; overlapping
+    # conversation time ranges are fine (ts is only ordered within a conv)
     ts = F.to_timestamp(F.lit("2026-01-01 00:00:00")) + F.make_interval(
-        secs=(F.col("cid") * 100000 + F.col("turn_idx") * 13).cast("double")
+        secs=(F.pmod(F.col("cid"), F.lit(1_000_000)) * 7200
+              + F.col("turn_idx") * 13).cast("double")
     )
 
     return turns.select(

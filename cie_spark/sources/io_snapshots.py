@@ -95,7 +95,12 @@ class SnapshotTable:
     def _write_fileset(self, df: DataFrame, partition_by: list[str] | None) -> str:
         fs = "fs-" + uuid.uuid4().hex[:12]
         path = os.path.join(self.root, "data", fs)
-        w = df.write.mode("overwrite")
+        # spread the write across the cluster: AQE may coalesce the final
+        # stage to a handful of partitions (right for shuffles, wrong for
+        # the I/O-bound encode+write step, which then runs near-serially
+        # and caps scaling). Round-robin repartition = every core writes.
+        n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        w = df.repartition(n_part).write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)

@@ -58,6 +58,48 @@ def test_simhash_near_dup(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_jaccard_exact_complete(spark):
+    """Exact inverted-index Jaccard finds every pair >= threshold (including
+    ones LSH might miss) and agrees with a python oracle."""
+    docs = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),
+        (3, "p q r s t u v w"),
+        (4, "a b c d e f g h"),  # exact dup of 1
+    ]
+    d = _docs(spark, docs)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.jaccard_pairs_exact(d, threshold=0.3).collect()}
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    expected = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = sh(docs[i][1]), sh(docs[j][1])
+            jac = len(a & b) / len(a | b)
+            if jac >= 0.3:
+                expected[(docs[i][0], docs[j][0])] = round(jac, 4)
+    assert got == expected
+    assert got[(1, 4)] == 1.0
+
+
+def test_cosine_near_dup_exact(spark):
+    from cie_spark.operators import simsearch
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.99, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r.id_a, r.id_b) for r in simsearch.cosine_near_dup_exact(emb, threshold=0.9).collect()}
+    assert got == {(1, 2)}
+
+
 def test_simhash_deterministic(spark):
     d = _docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta gamma")])
     from cie_spark.operators.dedup import simhash_col

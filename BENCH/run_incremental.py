@@ -2,8 +2,11 @@
 'incremental indexing, 10 changed files: ~3-5 s vs ~2 min full (≈40×)'
 (reference docs/architecture.md:419-421).
 
-Full pipeline over N conversations, then mutate K conversations and re-run
-incrementally; reports both durations and the speedup. Usage:
+Shape matches the reference's file-delta path: transcripts live in a
+bucketed snapshot table (the Iceberg analog); the full run indexes the whole
+table; the "edit" upserts K conversations' turns (a new snapshot); the
+incremental run uses the snapshot diff to read ONLY changed files + the
+affected conversations' buckets — unchanged data is never opened. Usage:
 
     python BENCH/run_incremental.py [--convs 20000] [--changed 10] [--cores 32]
 """
@@ -33,6 +36,7 @@ def main() -> int:
     from cie_spark.plans.pipeline import KGPipeline
     from cie_spark.session import get_spark
     from cie_spark.sources.gen import generate_transcripts
+    from cie_spark.sources.io_snapshots import SnapshotTable
 
     spark = get_spark(
         app="cie_incremental_bench",
@@ -41,20 +45,28 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     wh = tempfile.mkdtemp(prefix="cie_incr_")
+    src = tempfile.mkdtemp(prefix="cie_src_")
     try:
+        # setup (untimed): land the corpus in the source table
         t = generate_transcripts(spark, n_convs=args.convs, avg_turns=args.avg_turns)
-        pipe = KGPipeline(spark, wh)
-        full = pipe.run(t, incremental=True)
+        turns = SnapshotTable(spark, src, bucket_key="conv_id", n_buckets=128)
+        turns.overwrite(t)
 
+        pipe = KGPipeline(spark, wh)
+        full = pipe.run_from_table(turns)
+
+        # the "edit" (untimed ingestion): upsert turn 1 of K conversations
         changed_ids = [f"conv-{i:06d}" for i in range(args.changed)]
-        mutated = t.withColumn(
-            "text",
-            F.when(
-                F.col("conv_id").isin(changed_ids) & (F.col("turn_idx") == 1),
-                F.lit("edited: now about [[Terraform]] and [[Grafana]]"),
-            ).otherwise(F.col("text")),
+        edited = (
+            turns.read()
+            .filter(F.col("conv_id").isin(changed_ids) & (F.col("turn_idx") == 1))
+            .withColumn(
+                "text", F.lit("edited: now about [[Terraform]] and [[Grafana]]")
+            )
         )
-        incr = pipe.run(mutated, incremental=True)
+        turns.merge(edited, keys=["conv_id", "turn_idx"])
+
+        incr = pipe.run_from_table(turns)
 
         out = {
             "convs": args.convs,
@@ -71,6 +83,7 @@ def main() -> int:
         return 0
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
         spark.stop()
 
 

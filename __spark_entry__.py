@@ -326,32 +326,113 @@ def q_kg_similar_entities(spark, sf_dir):
     )
 
 
-# rows-only checks (no SQL-expressible oracle; verified in pytest instead)
-
-
 def q_kg_semantic_search(spark, sf_dir):
+    """Q16 full semantics: over-fetch k*4 by cosine, post-filter (stub
+    exclusion + min similarity), keyword boost, re-rank, top-k — all
+    oracle-checked against an independent DuckDB rendering of the frozen
+    embedding spec (FNV-1a token hash, see _FNV_SQL)."""
     from cie_spark.operators.graph_queries import GraphQueries
 
     linked, t = _linked(spark, sf_dir)
-    ents = (
-        linked.groupBy("entity_id")
-        .agg(F.min("kind").alias("kind"), F.collect_set("surface").alias("surfaces"))
-        .select(
-            "entity_id", "kind",
-            F.regexp_replace("entity_id", "^(ent:|tool:)", "").alias("canonical_name"),
-            "surfaces",
-        )
+    ents = linked.select("entity_id").distinct().select(
+        "entity_id",
+        F.regexp_replace("entity_id", "^(ent:|tool:)", "").alias("canonical_name"),
     )
-    gq = GraphQueries(triples.all_triples(linked, t), ents, t)
-    return gq.semantic_search("postgresql database", k=10)
+    gq = GraphQueries(None, ents, t)
+    return gq.semantic_search(
+        "postgresql database", k=10, over_fetch=4,
+        min_similarity=0.01, exclude_stubs=True,
+    )
 
 
 def q_kg_entity_embeddings(spark, sf_dir):
+    """A19 analog, oracle-checkable: scalar projections of the deterministic
+    embedding (dim, nonzero count, L2 norm, hot index + sign) instead of the
+    raw float vector, so DuckDB can verify the actual vector contents via an
+    independent FNV-1a implementation."""
     from cie_spark.functions import mock_embedding
 
     linked, _ = _linked(spark, sf_dir)
     ents = linked.filter(F.col("kind") == "entity").select("entity_id").distinct()
-    return ents.select("entity_id", mock_embedding(F.col("entity_id")).alias("embedding"))
+    e = ents.withColumn("emb", mock_embedding(F.col("entity_id")))
+    return e.select(
+        "entity_id",
+        F.size("emb").alias("dim"),
+        F.size(F.filter(F.col("emb"), lambda x: x != F.lit(0.0))).alias("n_nonzero"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("emb"),
+                    F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double"),
+                )
+            ),
+            4,
+        ).alias("l2_norm"),
+        F.expr(
+            "CAST(array_position(transform(emb, x -> x <> CAST(0.0 AS FLOAT)), true) AS INT)"
+        ).alias("nonzero_idx"),
+        F.expr(
+            "CAST(round(aggregate(emb, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE)), 0) AS INT)"
+        ).alias("sign"),
+    )
+
+
+def q_kg_find_callers_indirect(spark, sf_dir):
+    """Q6 with include_indirect: 3-round BFS over the bipartite agent-tool
+    call graph (search.go:489-530 semantics: bounded depth, visited set,
+    100-row cap), verified against a recursive-CTE DuckDB oracle."""
+    from cie_spark.operators.graph_queries import GraphQueries
+
+    linked, t = _linked(spark, sf_dir)
+    calls = triples.calls_triples(linked, t)
+    gq = GraphQueries(calls)
+    # no inner cap: the caller-domain restriction applies BEFORE the final
+    # 100-row cut, so Spark and the recursive-CTE oracle cut identically
+    out = gq.find_callers("tool:bash", include_indirect=True, limit=None)
+    dom = calls.select("subj").distinct()
+    return (
+        out.join(dom, on="subj", how="left_semi")
+        .withColumn("indirect", F.col("indirect").cast("int"))
+        .orderBy(F.desc("n_calls"), "subj")
+        .limit(100)
+    )
+
+
+def q_kg_get_code(spark, sf_dir):
+    """Q11 analog (code.go:36-95): exact-then-partial entity match, fetch
+    the mention turn's text, truncate to max_chars with a truncated flag."""
+    from cie_spark.operators.graph_queries import GraphQueries
+
+    linked, t = _linked(spark, sf_dir)
+    gq = GraphQueries(triples.all_triples(linked, t), None, t)
+    out = gq.get_code("PostgreSQL", max_chars=40, limit=20)
+    return out.withColumn("truncated", F.col("truncated").cast("int"))
+
+
+def q_kg_truncated_turns(spark, sf_dir):
+    """A11 code-text truncation: cap + flag (+ Observation counter)."""
+    t = _transcripts(spark, sf_dir)
+    out, _obs = textstats.truncate_texts(t, max_chars=45)
+    return out.select(
+        "conv_id", "turn_idx",
+        F.col("text").alias("code_text"),
+        F.col("truncated").cast("int").alias("truncated"),
+    )
+
+
+def q_kg_grep_context(spark, sf_dir):
+    """Q18 grep with ±1 context turns via lag/lead windows (no self-join)."""
+    from cie_spark.operators.graph_queries import GraphQueries
+
+    t = _transcripts(spark, sf_dir)
+    gq = GraphQueries(None, None, t)
+    return gq.grep_context("failed").select(
+        "conv_id", "turn_idx", "text", "prev_text", "next_text"
+    )
+
+
+# rows-only checks (no SQL-expressible oracle; verified in pytest instead)
 
 
 def q_ann_topk_lsh(spark, sf_dir):
@@ -445,6 +526,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_similar_entities": q_kg_similar_entities,
         "kg_semantic_search": q_kg_semantic_search,
         "kg_entity_embeddings": q_kg_entity_embeddings,
+        "kg_find_callers_indirect": q_kg_find_callers_indirect,
+        "kg_get_code": q_kg_get_code,
+        "kg_truncated_turns": q_kg_truncated_turns,
+        "kg_grep_context": q_kg_grep_context,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -514,6 +599,79 @@ mw AS (
   GROUP BY a.entity_id, b.entity_id, a.conv_id
 )
 """.strip()
+
+
+def _fnv_sql(col: str) -> str:
+    """DuckDB rendering of FNV-1a 64 (cie_spark.functions.hash_str /
+    fnv1a_array) — an INDEPENDENT implementation of the frozen embedding
+    spec, so the oracle actually verifies the Spark-side vector contents.
+    HUGEINT intermediate keeps the 64x40-bit multiply exact; % 2^64 wraps."""
+    return (
+        "CAST(list_reduce("
+        "list_prepend(CAST(14695981039346656037 AS HUGEINT), "
+        f"list_transform(range(1, length({col})+1), "
+        f"i -> CAST(unicode(substr({col}, i, 1)) AS HUGEINT))), "
+        "(h, c) -> (CAST(xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)"
+        " * 1099511628211) % 18446744073709551616"
+        ") AS UBIGINT)"
+    )
+
+
+def _semantic_search_oracle(query: str, k: int, over_fetch: int,
+                            min_similarity: float, boost: float = 0.15) -> str:
+    """DuckDB twin of GraphQueries.semantic_search. The query embedding and
+    its norm are deterministic (frozen spec), so they are rendered as SQL
+    literals; entity names are single tokens, so each entity vector is
+    ±1 one-hot at FNV(name)%64 and cosine = sign * q[idx] / |q|."""
+    import math
+
+    import pandas as pd
+
+    from cie_spark.functions import mock_embedding_matrix
+
+    qv = mock_embedding_matrix(pd.Series([query]))[0]
+    qn = 0.0
+    for x in qv:
+        f = float(x)
+        qn += f * f
+    qnorm = math.sqrt(qn)
+    qlist = "[" + ", ".join(repr(float(x)) for x in qv) + "]"
+    terms = [t for t in query.lower().split() if t]
+    hits = " + ".join(
+        f"(CASE WHEN contains(canonical_name, '{t}') THEN 1 ELSE 0 END)"
+        for t in terms
+    )
+    return f"""{_KG_CTES}, ids AS (
+  SELECT DISTINCT entity_id FROM linked
+  UNION
+  SELECT DISTINCT obj AS entity_id FROM calls
+),
+named AS (
+  SELECT entity_id, regexp_replace(entity_id, '^(ent:|tool:)', '') AS canonical_name
+  FROM ids
+),
+hashed AS (
+  SELECT entity_id, canonical_name, {_fnv_sql('canonical_name')} AS h FROM named
+),
+scored AS (
+  SELECT entity_id, canonical_name,
+    (CASE WHEN (h >> 32) % 2 = 1 THEN 1.0 ELSE -1.0 END)
+      * CAST(list_extract({qlist}, CAST(h % 64 AS INT) + 1) AS DOUBLE)
+      / CAST({qnorm!r} AS DOUBLE) AS sim,
+    ({hits}) AS hits
+  FROM hashed
+),
+fetched AS (
+  SELECT *, row_number() OVER (ORDER BY sim DESC, entity_id ASC) AS rn FROM scored
+)
+SELECT entity_id, canonical_name, round(sim, 4) AS sim,
+  round(least(CAST(1.0 AS DOUBLE), sim + CAST({boost!r} AS DOUBLE) * hits), 4) AS score
+FROM fetched
+WHERE rn <= {k * over_fetch}
+  AND NOT regexp_matches(entity_id, '^ent:[0-9a-f]{{16}}$')
+  AND sim >= CAST({min_similarity!r} AS DOUBLE)
+ORDER BY score DESC, entity_id ASC
+LIMIT {k}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -625,6 +783,81 @@ WHERE text LIKE '%failed%'""",
         "kg_similar_entities": f"""{_KG_CTES}
 SELECT DISTINCT entity_id FROM linked
 WHERE regexp_matches(entity_id, 'post|kafka')""",
+        "kg_semantic_search": _semantic_search_oracle(
+            "postgresql database", k=10, over_fetch=4, min_similarity=0.01
+        ),
+        "kg_entity_embeddings": f"""{_KG_CTES}, ids AS (
+  SELECT DISTINCT entity_id FROM linked
+),
+hashed AS (SELECT entity_id, {_fnv_sql('entity_id')} AS h FROM ids)
+SELECT entity_id, CAST(64 AS INT) AS dim, CAST(1 AS INT) AS n_nonzero,
+  CAST(1.0 AS DOUBLE) AS l2_norm,
+  CAST(h % 64 + 1 AS INT) AS nonzero_idx,
+  CAST(CASE WHEN (h >> 32) % 2 = 1 THEN 1 ELSE -1 END AS INT) AS sign
+FROM hashed""",
+        "kg_find_callers_indirect": f"""{_KG_CTES}, cagg AS (
+  SELECT DISTINCT subj, obj FROM calls
+),
+direct AS (
+  SELECT subj, count(*) AS n_calls FROM calls WHERE obj = 'tool:bash' GROUP BY subj
+),
+reach AS (
+  SELECT node, min(depth) AS depth FROM (
+    WITH RECURSIVE r(node, depth) AS (
+      SELECT 'tool:bash' AS node, 0 AS depth
+      UNION
+      SELECT e.b AS node, r.depth + 1 AS depth
+      FROM r JOIN (
+        SELECT subj AS a, obj AS b FROM cagg
+        UNION SELECT obj AS a, subj AS b FROM cagg
+      ) e ON e.a = r.node
+      WHERE r.depth < 3
+    ) SELECT node, depth FROM r
+  ) GROUP BY node
+),
+ind AS (
+  SELECT r.node AS subj FROM reach r
+  WHERE r.depth > 1
+    AND r.node IN (SELECT subj FROM cagg)
+    AND r.node NOT IN (SELECT subj FROM direct)
+)
+SELECT subj, n_calls, indirect FROM (
+  SELECT subj, n_calls, CAST(0 AS INT) AS indirect FROM direct
+  UNION ALL
+  SELECT subj, CAST(0 AS BIGINT) AS n_calls, CAST(1 AS INT) AS indirect FROM ind
+) ORDER BY n_calls DESC, subj ASC LIMIT 100""",
+        "kg_get_code": f"""{_KG_CTES}, named AS (
+  SELECT regexp_replace(obj, '^(ent:|tool:)', '') AS canonical_name,
+         conv_id, turn_idx
+  FROM contains_t
+),
+matched AS (
+  SELECT *, CASE WHEN canonical_name = 'postgresql' THEN 'exact'
+                 WHEN contains(canonical_name, 'postgresql') THEN 'partial'
+            END AS match_kind
+  FROM named
+  WHERE canonical_name = 'postgresql' OR contains(canonical_name, 'postgresql')
+),
+hx AS (SELECT max(CASE WHEN match_kind = 'exact' THEN 1 ELSE 0 END) AS has_exact FROM matched)
+SELECT m.canonical_name, m.match_kind, m.conv_id, m.turn_idx,
+       substr(t.text, 1, 40) AS code_text,
+       CAST(CASE WHEN length(t.text) > 40 THEN 1 ELSE 0 END AS INT) AS truncated
+FROM matched m CROSS JOIN hx
+JOIN transcripts t ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx
+WHERE hx.has_exact = 0 OR m.match_kind = 'exact'
+ORDER BY m.conv_id, m.turn_idx, m.canonical_name
+LIMIT 20""",
+        "kg_truncated_turns": f"""{_KG_CTES}
+SELECT conv_id, turn_idx, substr(text, 1, 45) AS code_text,
+  CAST(CASE WHEN length(coalesce(text, '')) > 45 THEN 1 ELSE 0 END AS INT) AS truncated
+FROM transcripts""",
+        "kg_grep_context": f"""{_KG_CTES}
+SELECT conv_id, turn_idx, text, prev_text, next_text FROM (
+  SELECT conv_id, turn_idx, text,
+    lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_text,
+    lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_text
+  FROM transcripts
+) WHERE text LIKE '%failed%'""",
         "doc_dedup_exact": """
 SELECT md5(regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fingerprint,
        count(*) AS n_dups, min(doc_id) AS keep_id

@@ -73,28 +73,71 @@ def minhash_band_cols(norm_surface: Column, *, bands: int | None = None,
     return out
 
 
+EMBED_DIM = 64
+
+
+def fnv1a_array(tokens: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a 64 over an array of strings — one numpy pass per
+    byte position instead of a Python loop per token (the same flatten-
+    then-batch-hash discipline as dedup._simhash64_udf). Tokens with
+    embedded NUL bytes hash as if truncated at the NUL (padding sentinel)."""
+    if len(tokens) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    enc = np.char.encode(tokens.astype("U"), "utf-8")
+    width = enc.dtype.itemsize
+    h = np.full(len(tokens), 0xCBF29CE484222325, dtype=np.uint64)
+    if width == 0:
+        return h
+    codes = np.frombuffer(enc.tobytes(), dtype=np.uint8).reshape(len(tokens), width)
+    prime = np.uint64(0x100000001B3)
+    for j in range(width):
+        c = codes[:, j].astype(np.uint64)
+        active = c != 0
+        if not active.any():
+            break
+        h = np.where(active, (h ^ c) * prime, h)
+    return h
+
+
+def mock_embedding_matrix(texts: pd.Series, dim: int = EMBED_DIM) -> np.ndarray:
+    """Deterministic hash-bag embedding of a text batch, L2-normalized.
+
+    Semantics (the frozen embedding spec, shared with the DuckDB oracle in
+    __spark_entry__): tokenize on whitespace (lowercased); each token adds
+    ±1 to component FNV1a(token) % dim, sign = bit 32 of the hash; then L2
+    normalize. Fully vectorized: one explode + one batched FNV pass + one
+    scatter-add per Arrow batch — no per-row Python.
+    """
+    s = texts.reset_index(drop=True).fillna("").astype(str).str.lower().str.split()
+    n = len(s)
+    out = np.zeros((n, dim), dtype=np.float32)
+    ex = s.explode()
+    ex = ex[ex.notna()]
+    if len(ex):
+        rows = ex.index.to_numpy(dtype=np.int64)
+        h = fnv1a_array(ex.to_numpy(dtype=object))
+        idx = (h % np.uint64(dim)).astype(np.int64)
+        sign = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0).astype(
+            np.float32
+        )
+        np.add.at(out, (rows, idx), sign)
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    out /= norms
+    return out
+
+
 @F.pandas_udf(T.ArrayType(T.FloatType()))
 def mock_embedding(texts: pd.Series) -> pd.Series:
     """Deterministic 64-dim hash-based embedding, L2-normalized.
 
     Stand-in for the reference's mock embedding provider (deterministic
     hash-based vectors, embedding.go:46-89, L2-normalized per
-    docs/architecture.md:350-363). Arrow-batched: one numpy pass per batch.
+    docs/architecture.md:350-363). Arrow-batched + numpy-vectorized; see
+    mock_embedding_matrix. Swap providers via
+    cie_spark.functions.embedding_provider.embedding_udf.
     """
-    dim = 64
-    n = len(texts)
-    out = np.zeros((n, dim), dtype=np.float32)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        # token-hash bag: stable across runs/partitions
-        for tok in str(t).lower().split():
-            h = np.uint64(hash_str(tok))
-            out[i, int(h % np.uint64(dim))] += 1.0 if (h >> np.uint64(32)) % np.uint64(2) else -1.0
-    norms = np.linalg.norm(out, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    out /= norms
-    return pd.Series(list(out))
+    return pd.Series(list(mock_embedding_matrix(texts)))
 
 
 def hash_str(s: str) -> int:

@@ -5,19 +5,20 @@ alias resolution (ids.go:31-63, resolver.go:198-229), surfaces linked by the
 fuzzy tier can form alias *chains* (A~B, B~C). We close them with connected
 components so every member maps to one canonical entity ID.
 
-Implementation: the alternating large-star / small-star algorithm
-(Kiveris et al., "Connected Components in MapReduce and Beyond", SOCC'14 —
-public literature) expressed as DataFrame self-joins with a driver-side
-convergence loop. Each iteration `localCheckpoint()`s to truncate lineage —
-the same checkpointed-iteration discipline the reference applies to its
-bounded BFS (trace.go:291-354). Canonical representative = lexicographic min
-entity_id in the component: partition-order independent, hence deterministic
-at any cluster size.
+Implementation: min-label propagation with POINTER DOUBLING — each round
+first propagates the minimum component label across edges, then contracts
+pointer chains with comp := comp(comp) (path halving, the core step of the
+Kiveris et al. SOCC'14 MapReduce-CC family). Label propagation alone needs
+O(graph diameter) rounds; the doubling step halves every chain each round,
+giving O(log diameter) convergence. Each round `localCheckpoint()`s to
+truncate lineage — the same checkpointed-iteration discipline the reference
+applies to its bounded BFS (trace.go:291-354). Canonical representative =
+lexicographic min entity_id in the component: partition-order independent,
+hence deterministic at any cluster size.
 
-Scale: converges in O(log n) rounds on any graph; each round is two
-shuffle joins on entity-id keys. Skewed high-degree nodes are handled by the
-large-star step itself (it hangs every neighbor under the min), plus AQE
-skew-join splitting.
+If max_iter is exhausted before convergence (pathological chain far longer
+than 2^max_iter — not reachable with real alias data), the function raises
+rather than silently returning non-canonical representatives.
 """
 
 from __future__ import annotations
@@ -31,9 +32,9 @@ def connected_components(
 ) -> DataFrame:
     """edges(src,dst) -> (node, component) with component = min node id.
 
-    Node IDs are strings; comparison is lexicographic. Bounded iterations
-    (analog of the reference's BFS depth cap, trace.go:255) with a
-    convergence check per round.
+    Node IDs are strings; comparison is lexicographic. Raises RuntimeError
+    if not converged within max_iter rounds (with pointer doubling this
+    bounds component diameter at 2^max_iter — unreachable in practice).
     """
     # undirected: keep each edge in canonical (min,max) orientation
     e = (
@@ -54,8 +55,7 @@ def connected_components(
     parent = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
 
     for _ in range(max_iter):
-        # propagate: comp(node) = min(comp(node), min over neighbors comp)
-        # one round of min-label propagation on the undirected edge list
+        # 1. propagate: comp(node) = min(comp(node), min over neighbors comp)
         msgs = (
             e.join(parent.withColumnRenamed("node", "src"), on="src")
             .select(F.col("dst").alias("node"), "comp")
@@ -65,10 +65,22 @@ def connected_components(
                 )
             )
         )
-        new_parent = (
+        propagated = (
             parent.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+        )
+        # 2. pointer doubling (path halving): comp := comp(comp) — one keyed
+        # self-join; chains shrink geometrically so total rounds are
+        # O(log diameter), not O(diameter)
+        lut = propagated.select(
+            F.col("node").alias("comp"), F.col("comp").alias("comp2")
+        )
+        new_parent = (
+            propagated.join(lut, on="comp", how="left")
+            .select(
+                "node", F.coalesce(F.least("comp2", "comp"), F.col("comp")).alias("comp")
+            )
             .localCheckpoint()
         )
         changed = (
@@ -80,8 +92,11 @@ def connected_components(
         )
         parent = new_parent
         if changed == 0:
-            break
-    return parent.select("node", F.col("comp").alias("component"))
+            return parent.select("node", F.col("comp").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter > 2^max_iter?)"
+    )
 
 
 def canonicalize_linkmap(linkmap: DataFrame) -> DataFrame:

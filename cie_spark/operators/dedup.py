@@ -124,16 +124,21 @@ def minhash_candidates(
         .filter(F.col("count") <= max_bucket)
         .drop("count")
     )
-    sig = sig.join(small, on=["band_idx", "band_sig"], how="left_semi")
-    return (
-        sig.alias("x")
-        .join(sig.alias("y"), on=["band_idx", "band_sig"])
+    filtered = sig.join(small, on=["band_idx", "band_sig"], how="left_semi")
+    out = (
+        filtered.alias("x")
+        .join(filtered.alias("y"), on=["band_idx", "band_sig"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
         .dropDuplicates(["doc_a", "doc_b"])
+        # candidate pairs are threshold-bounded: materialize eagerly, then
+        # release the signature cache (no leak across long-running sessions)
+        .localCheckpoint(eager=True)
     )
+    sig.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -161,11 +166,14 @@ def ngram_jaccard_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    out = (
         j.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist()
+    return out
 
 
 def jaccard_pairs_exact(
@@ -205,11 +213,14 @@ def jaccard_pairs_exact(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    out = (
         j.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist()
+    return out
 
 
 import numpy as np  # noqa: E402
@@ -301,6 +312,8 @@ def simhash_pairs(docs: DataFrame, *, max_hamming: int = 3, bands: int = 4) -> D
         .dropDuplicates(["doc_a", "doc_b"])
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", ham).filter(
+    out = cand.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
-    ).select("doc_a", "doc_b", "hamming")
+    ).select("doc_a", "doc_b", "hamming").localCheckpoint(eager=True)
+    sh.unpersist()
+    return out

@@ -59,10 +59,12 @@ class GraphQueries:
             | F.exists(F.col("surfaces"), lambda s: F.lower(s) == low)
         )
 
-    # Q6 cie_find_callers: agents calling a tool; optional 2-hop indirection
-    # through shared-conversation containment (the dispatch-join analog)
+    # Q6 cie_find_callers: agents calling a tool; with include_indirect, a
+    # bounded 3-round BFS over the (undirected) caller graph — the exact
+    # shape of the reference's indirect-caller expansion (search.go:489-530:
+    # 3 rounds, visited set, 100-row result cap)
     def find_callers(self, tool_id: str, *, include_indirect: bool = False,
-                     limit: int = 100) -> DataFrame:
+                     limit: int | None = 100, max_depth: int = 3) -> DataFrame:
         calls = self.triples.filter(F.col("pred") == "calls")
         direct = (
             calls.filter(F.col("obj") == tool_id)
@@ -71,22 +73,95 @@ class GraphQueries:
             .withColumn("indirect", F.lit(False))
         )
         if not include_indirect:
-            return direct.orderBy(F.desc("n_calls"), "subj").limit(limit)
-        # indirect: agents of conversations that contain entities co-mentioned
-        # in conversations where the tool is called (bounded 1 extra hop)
-        convs = calls.filter(F.col("obj") == tool_id).select("conv_id").distinct()
+            out = direct.orderBy(F.desc("n_calls"), "subj")
+            return out.limit(limit) if limit else out
+        edges = calls.select("subj", "obj").dropDuplicates(["subj", "obj"])
+        reach = self.bfs_reachable(edges, tool_id, max_depth=max_depth)
         indirect = (
-            calls.join(convs, on="conv_id", how="left_semi")
-            .filter(F.col("obj") != tool_id)
-            .select("subj")
-            .distinct()
+            reach.filter(F.col("depth") > 1)
+            .select(F.col("node").alias("subj"))
             .join(direct.select("subj"), on="subj", how="left_anti")
             .withColumn("n_calls", F.lit(0).cast("long"))
             .withColumn("indirect", F.lit(True))
         )
-        return direct.unionByName(indirect).orderBy(
-            F.desc("n_calls"), "subj"
-        ).limit(limit)
+        out = direct.unionByName(indirect).orderBy(F.desc("n_calls"), "subj")
+        return out.limit(limit) if limit else out
+
+    def bfs_reachable(
+        self, edges: DataFrame, start: str, *, max_depth: int = 3,
+        undirected: bool = True,
+    ) -> DataFrame:
+        """(node, depth): min-hop distance from `start` over `edges(subj,obj)`,
+        bounded at max_depth. Iterative frontier join with a visited
+        anti-join; localCheckpoint per round truncates lineage (the
+        checkpointed-iteration discipline of trace.go:291-354). The visited
+        anti-join makes depth = MIN depth, so results are deterministic and
+        match a recursive-CTE `min(depth) GROUP BY node` oracle exactly."""
+        e = edges.select("subj", "obj")
+        if undirected:
+            e = e.unionByName(
+                e.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+            )
+        e = e.dropDuplicates(["subj", "obj"]).localCheckpoint()
+        spark = e.sparkSession
+        frontier = spark.createDataFrame([(start, 0)], "node string, depth int")
+        visited = frontier.localCheckpoint()
+        for d in range(1, max_depth + 1):
+            nxt = (
+                frontier.join(e, frontier.node == e.subj)
+                .select(F.col("obj").alias("node"), F.lit(d).alias("depth"))
+                .dropDuplicates(["node"])
+                .join(visited.select("node"), on="node", how="left_anti")
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+        return visited
+
+    # Q11 cie_get_function_code analog: fetch the turn text where an entity
+    # is mentioned — exact canonical-name match first, partial
+    # (substring-of-name) fallback only when the exact set is empty, text
+    # truncated to max_chars (code.go:36-95: exact-then-partial + 3000-char
+    # truncation)
+    def get_code(self, name: str, *, max_chars: int = 3000,
+                 limit: int = 20) -> DataFrame:
+        assert self.transcripts is not None
+        from cie_spark import spec
+
+        target = spec.norm(name)
+        mentions = self.triples.filter(F.col("pred") == "contains").select(
+            F.regexp_replace("obj", "^(ent:|tool:)", "").alias("canonical_name"),
+            "conv_id", "turn_idx",
+        )
+        matched = mentions.withColumn(
+            "match_kind",
+            F.when(F.col("canonical_name") == target, F.lit("exact")).when(
+                F.col("canonical_name").contains(target), F.lit("partial")
+            ),
+        ).filter(F.col("match_kind").isNotNull())
+        # keep only exact matches when any exist (declarative: broadcast the
+        # 1-row has-exact flag, no driver-side count action)
+        has_exact = matched.agg(
+            F.max((F.col("match_kind") == "exact").cast("int")).alias("has_exact")
+        )
+        matched = matched.crossJoin(F.broadcast(has_exact)).filter(
+            (F.col("has_exact") == 0) | (F.col("match_kind") == "exact")
+        )
+        out = matched.join(self.transcripts, on=["conv_id", "turn_idx"])
+        return (
+            out.select(
+                "canonical_name",
+                "match_kind",
+                "conv_id",
+                "turn_idx",
+                F.substring("text", 1, max_chars).alias("code_text"),
+                (F.length("text") > max_chars).alias("truncated"),
+            )
+            .orderBy("conv_id", "turn_idx", "canonical_name")
+            .limit(limit)
+        )
 
     # Q7 cie_find_callees: tools an agent calls
     def find_callees(self, agent_id: str, limit: int = 100) -> DataFrame:
@@ -135,34 +210,85 @@ class GraphQueries:
         )
 
     # Q16/Q17 cie_semantic_search + keyword-boost analyze
-    def semantic_search(self, query: str, k: int = 10, boost: float = 0.15) -> DataFrame:
-        """Deterministic-embedding cosine search over entity names with the
-        reference's additive keyword boost (+0.15 per query term contained in
-        the name, capped at 1.0, then re-rank — analyze.go:710-740)."""
+    _STUB_ID_RE = "^ent:[0-9a-f]{16}$"
+
+    def semantic_search(
+        self,
+        query: str,
+        k: int = 10,
+        boost: float = 0.15,
+        *,
+        min_similarity: float = 0.0,
+        name_filter: str | None = None,
+        exclude_stubs: bool = False,
+        over_fetch: int = 4,
+        use_embeddings: bool = True,
+    ) -> DataFrame:
+        """Full semantic-search semantics (semantic.go:451-557):
+
+        1. embed the query (deterministic mock provider), cosine-score every
+           entity name, keep the top k*over_fetch by raw similarity
+           (the over-fetch),
+        2. post-filter the over-fetched set: name regex, stub/anonymous
+           exclusion (OOV hash stubs are the anonymous-function analog),
+           min_similarity floor (the reference's 1 - dist/2 threshold,
+           expressed directly in cosine space),
+        3. keyword boost (+`boost` per query term contained in the name,
+           capped at 1.0 — analyze.go:710-740), re-rank, return top k.
+
+        With use_embeddings=False (the no-embedding-service case) it takes
+        the keyword-fallback path (semantic.go:221-292): rank purely by the
+        fraction of query terms contained in the name.
+
+        Scale note: the global top-(k*over_fetch) window runs on the
+        vocabulary-bounded entity table (10^5..10^7 rows), not the corpus;
+        at larger vocabularies swap the window for a per-partition top-k +
+        driver merge (or an ANN index — simsearch.topk_lsh).
+        """
         assert self.entities is not None
+        import pandas as pd
+
+        from cie_spark.functions import mock_embedding_matrix
         from cie_spark.operators.simsearch import cosine_sim
 
         terms = [t for t in query.lower().split() if t]
-        ents = self.entities.withColumn(
-            "emb", mock_embedding(F.col("canonical_name"))
-        )
-        qdf = ents.sparkSession.createDataFrame([(query,)], "q string").select(
-            mock_embedding(F.col("q")).alias("qemb")
-        )
-        qvec = qdf.first()[0]
-        qlit = F.array(*[F.lit(float(x)) for x in qvec])
-        sim = cosine_sim(F.col("emb"), qlit)
         n_hits = sum(
-            (
-                F.col("canonical_name").contains(t).cast("int")
-                for t in terms
-            ),
+            (F.col("canonical_name").contains(t).cast("int") for t in terms),
             F.lit(0),
         )
-        score = F.least(F.lit(1.0), sim + F.lit(boost) * n_hits)
+        if not use_embeddings:
+            score = F.round(
+                n_hits.cast("double") / F.lit(float(max(len(terms), 1))), 4
+            )
+            out = self.entities.select(
+                "entity_id", "canonical_name", score.alias("score")
+            ).filter(F.col("score") > 0)
+            if exclude_stubs:
+                out = out.filter(~F.col("entity_id").rlike(self._STUB_ID_RE))
+            if name_filter:
+                out = out.filter(F.col("canonical_name").rlike(name_filter))
+            return out.orderBy(F.desc("score"), "entity_id").limit(k)
+
+        qvec = mock_embedding_matrix(pd.Series([query]))[0]
+        qlit = F.array(*[F.lit(float(x)) for x in qvec])
+        scored = self.entities.withColumn(
+            "emb", mock_embedding(F.col("canonical_name"))
+        ).withColumn("sim", cosine_sim(F.col("emb"), qlit))
+        w = Window.orderBy(F.desc("sim"), F.asc("entity_id"))
+        out = scored.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= k * over_fetch
+        )
+        if exclude_stubs:
+            out = out.filter(~F.col("entity_id").rlike(self._STUB_ID_RE))
+        if name_filter:
+            out = out.filter(F.col("canonical_name").rlike(name_filter))
+        out = out.filter(F.col("sim") >= min_similarity)
+        score = F.least(F.lit(1.0), F.col("sim") + F.lit(boost) * n_hits)
         return (
-            ents.select(
-                "entity_id", "canonical_name",
+            out.select(
+                "entity_id",
+                "canonical_name",
+                F.round("sim", 4).alias("sim"),
                 F.round(score, 4).alias("score"),
             )
             .orderBy(F.desc("score"), "entity_id")
@@ -177,6 +303,25 @@ class GraphQueries:
             self.transcripts.filter(F.col("text").rlike(pat))
             .select("conv_id", "turn_idx", "text")
             .limit(limit)
+        )
+
+    # Q18b cie_grep context lines: each match with its neighboring turns —
+    # lag/lead over the (conv_id, turn_idx) window, no self-join (grep.go
+    # returns ±N context lines around each match; a window beats a
+    # range-join at any scale since turns are already clustered per conv)
+    def grep_context(self, pattern: str, *, literal: bool = True) -> DataFrame:
+        assert self.transcripts is not None
+        pat = re.escape(pattern) if literal else pattern
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        return (
+            self.transcripts.select(
+                "conv_id",
+                "turn_idx",
+                "text",
+                F.lag("text", 1).over(w).alias("prev_text"),
+                F.lead("text", 1).over(w).alias("next_text"),
+            )
+            .filter(F.col("text").rlike(pat))
         )
 
     # Q19 cie_verify_absence
@@ -287,11 +432,18 @@ class GraphQueries:
 
     # Q28 cie_blame_function -> per-role activity share in a conversation
     def blame(self, conv_id: str) -> DataFrame:
+        """One aggregation + a window for the share denominator — no separate
+        count() action (a second full pass at scale)."""
         assert self.transcripts is not None
         t = self.transcripts.filter(F.col("conv_id") == conv_id)
-        total = t.count()
-        return t.groupBy("role").agg(
+        agg = t.groupBy("role").agg(
             F.count("*").alias("n_turns"),
-            F.round(F.count("*") / F.lit(total), 4).alias("share"),
             F.max("ts").alias("last_ts"),
+        )
+        total = F.sum("n_turns").over(Window.partitionBy())
+        return agg.select(
+            "role",
+            "n_turns",
+            F.round(F.col("n_turns") / total, 4).alias("share"),
+            "last_ts",
         )

@@ -69,8 +69,20 @@ def _jaccard_col(a, b):
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+# above this many dictionary entries, the fuzzy tier switches from the
+# exact broadcast nested-loop to MinHash-LSH band blocking automatically:
+# the nested loop is (distinct unmatched surfaces × dictionary) — fine for a
+# 10^2-entry vocabulary, silently quadratic at 10^6
+AUTO_LSH_DICT_SIZE = 10_000
+
+
 def link_surfaces(
-    spark: SparkSession, surfaces: DataFrame, *, use_lsh: bool | None = None
+    spark: SparkSession,
+    surfaces: DataFrame,
+    *,
+    use_lsh: bool | None = None,
+    dictionary: DataFrame | None = None,
+    dictionary_size: int | None = None,
 ) -> DataFrame:
     """(surface) -> (surface, surface_norm, entity_id, link_tier).
 
@@ -81,13 +93,24 @@ def link_surfaces(
     dictionary. With a broadcastable dictionary (the common case — vocab is
     bounded) we score every (distinct unmatched surface × dictionary) pair
     exactly: both sides are vocabulary-bounded, so this stays tiny at any
-    corpus scale. `use_lsh=True` (auto when the dictionary is large) inserts
-    MinHash-LSH band blocking before scoring — a recall<1.0 approximation
-    traded for sub-quadratic candidate generation.
+    corpus scale. `use_lsh=True` — or automatically when the dictionary
+    exceeds AUTO_LSH_DICT_SIZE entries — inserts MinHash-LSH band blocking
+    before scoring: a recall<1.0 approximation traded for sub-quadratic
+    candidate generation.
+
+    `dictionary`: (surface_norm, entity_id[, canonical_name]) override of the
+    spec dictionary (tests / alternative vocabularies). `dictionary_size`:
+    row-count hint for the auto-switch when passing a DataFrame whose size
+    isn't known driver-side (avoids a count action).
     """
-    dic = dictionary_df(spark)
+    if dictionary is None:
+        dic = dictionary_df(spark)
+        dic_size = len(spec.SURFACE_TO_CANONICAL)
+    else:
+        dic = dictionary
+        dic_size = dictionary_size if dictionary_size is not None else dic.count()
     if use_lsh is None:
-        use_lsh = False
+        use_lsh = dic_size > AUTO_LSH_DICT_SIZE
 
     distinct = (
         surfaces.select("surface")
@@ -153,7 +176,12 @@ def link_surfaces(
         F.lit("stub").alias("link_tier"),
     )
 
-    return hit.unionByName(fuzzy_hit).unionByName(stub)
+    # materialize the (vocabulary-bounded) link map eagerly, then release the
+    # t1 cache — long-running callers (streaming watch) would otherwise leak
+    # one cached frame per micro-batch
+    out = hit.unionByName(fuzzy_hit).unionByName(stub).localCheckpoint(eager=True)
+    t1.unpersist()
+    return out
 
 
 def link_mentions(spark: SparkSession, mentions: DataFrame) -> DataFrame:

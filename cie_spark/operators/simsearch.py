@@ -114,15 +114,52 @@ def topk_lsh(
 def cosine_near_dup_pairs(
     vectors: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    n_planes: int = 12, seed: int = 42,
+    n_planes: int = 16, bands: int = 4, seed: int = 42,
+    max_bucket: int = 512,
 ) -> DataFrame:
-    """Embedding near-dup pairs (a<b, cosine >= threshold) via signature
-    bucketing + exact verify — never an all-pairs cross join."""
-    planes_sig = _hyperplane_sig(F.col(vec_col), make_planes_from_df(vectors, vec_col, n_planes, seed))
-    sig = vectors.select(F.col(id_col), F.col(vec_col), planes_sig.alias("sig"))
+    """Embedding near-dup pairs (a<b, cosine >= threshold) via BANDED
+    hyperplane-signature blocking + exact verify — never an all-pairs cross
+    join, and never exact-full-signature equality (which has near-zero
+    recall at practical thresholds: for cos >= 0.9 each of 16 sign bits
+    flips with p = acos(0.9)/pi ~ 0.144, so P[all 16 agree] ~ 0.08; with 4
+    bands of 4 bits, P[some band agrees] ~ 1-(1-0.537)^4 ~ 0.95).
+
+    Candidates = pairs agreeing on >= 1 band (equi-join per band, the same
+    blocking shape as dedup.simhash_pairs); buckets larger than `max_bucket`
+    are dropped before the self-join (hot-bucket quadratic guard — the skew
+    salting analog; recall trade documented). Verification is the exact
+    cosine, so precision is 1.0 by construction.
+    """
+    bits = n_planes // bands
+    mask = (1 << bits) - 1
+    planes_sig = _hyperplane_sig(
+        F.col(vec_col), make_planes_from_df(vectors, vec_col, n_planes, seed)
+    )
+    sig = vectors.select(
+        F.col(id_col), F.col(vec_col), planes_sig.alias("sig")
+    ).persist()
+    parts = sig.select(
+        id_col,
+        vec_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), bits * b).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    small = (
+        parts.groupBy("band_idx", "band_val")
+        .count()
+        .filter(F.col("count") <= max_bucket)
+        .drop("count")
+    )
+    parts = parts.join(small, on=["band_idx", "band_val"], how="left_semi")
     cand = (
-        sig.alias("x")
-        .join(sig.alias("y"), on="sig")
+        parts.alias("x")
+        .join(parts.alias("y"), on=["band_idx", "band_val"])
         .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
         .select(
             F.col(f"x.{id_col}").alias("id_a"),
@@ -130,12 +167,16 @@ def cosine_near_dup_pairs(
             F.col(f"x.{vec_col}").alias("va"),
             F.col(f"y.{vec_col}").alias("vb"),
         )
+        .dropDuplicates(["id_a", "id_b"])
     )
-    return (
+    out = (
         cand.withColumn("sim", cosine_sim(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+        .localCheckpoint(eager=True)  # materialize, then free the sig cache
     )
+    sig.unpersist()
+    return out
 
 
 def make_planes_from_df(

@@ -104,6 +104,31 @@ def doc_lang_guess(docs: DataFrame) -> DataFrame:
     )
 
 
+def truncate_texts(
+    df: DataFrame, *, max_chars: int = 3000, text_col: str = "text"
+):
+    """A11 code-text truncation: cap `text_col` at max_chars, flag truncated
+    rows, and count them with an Observation (the truncation-counter metric
+    rides the caller's next action for free — no extra pass). Returns
+    (df, Observation with {rows, truncated}).
+
+    Analog of the reference's extractor text cap + truncation counter
+    (parser code truncates long function bodies and reports how many)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("truncation")
+    truncated = F.length(F.coalesce(F.col(text_col), F.lit(""))) > max_chars
+    out = df.withColumn("truncated", truncated).withColumn(
+        text_col, F.substring(F.col(text_col), 1, max_chars)
+    )
+    out = out.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("truncated").cast("long")).alias("truncated"),
+    )
+    return out, obs
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text —
     the exact-dup key (rolling/simhash variants live in dedup.py)."""

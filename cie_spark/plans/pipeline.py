@@ -7,17 +7,29 @@ Stages (each records a lineage row with counts + timing + snapshot id):
   2. extract     mapInPandas mention extraction (operators/extract.py)
   3. link        3-tier entity linking (operators/link.py)
   4. canon       connected-components alias closure (operators/canon.py)
-  5. triples     (subj,pred,obj) emission (operators/triples.py)
-  6. materialize MERGE into triples/entities snapshot tables, keyed on the
-                 stable edge identity -> idempotent re-runs (resume safety)
+  5. triples     (subj,pred,obj) emission + data-quality observation
+                 (operators/validate.py — fail-on-violation, the analog of
+                 ValidateEntities, datalog.go:62-175)
+  6. materialize stale-conv purge fused with idempotent keyed MERGE into
+                 bucketed triples/entities snapshot tables — only buckets
+                 containing affected conv_ids are rewritten (resume safety +
+                 incremental cost O(delta), not O(table))
   7. checkpoint  processed-conversations table update (hash-delta analog)
 
 Incremental semantics (analog of delta.go/hash_delta.go/checkpoint.go):
 a conversation is reprocessed iff its content hash changed; stale edges for
-reprocessed conversations are deleted before merge (cascading delete analog,
-embedded.go:336-391). The committed snapshot *is* the checkpoint: a killed
-run leaves the previous snapshot intact, and re-running converges because
-every write is an idempotent keyed MERGE.
+reprocessed conversations are purged in the same bucket rewrite as the merge
+(cascading delete analog, embedded.go:336-391). The committed snapshot *is*
+the checkpoint: a killed run leaves the previous snapshot intact, and
+re-running converges because every write is an idempotent keyed MERGE.
+
+Resume policies (analog of config.go:169-186):
+  trust_checkpoint  (default) skip conversations whose content hash matches
+                    the processed checkpoint
+  force_reprocess   re-extract every conversation (still an idempotent
+                    keyed MERGE — converges to the same state)
+  fail_fast         first verify warehouse/checkpoint consistency (every
+                    indexed conv_id must be checkpointed); raise on drift
 """
 
 from __future__ import annotations
@@ -30,8 +42,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cie_spark import schema
-from cie_spark.operators import canon, extract, link, triples
+from cie_spark.operators import canon, extract, link, triples, validate
 from cie_spark.sources.io_snapshots import SnapshotTable
+
+RESUME_POLICIES = ("trust_checkpoint", "force_reprocess", "fail_fast")
 
 
 def _now() -> datetime:
@@ -39,13 +53,40 @@ def _now() -> datetime:
 
 
 class KGPipeline:
-    def __init__(self, spark: SparkSession, warehouse: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        *,
+        n_buckets: int = 128,
+    ):
         self.spark = spark
         self.warehouse = warehouse
-        self.triples = SnapshotTable(spark, f"{warehouse}/triples")
-        self.entities = SnapshotTable(spark, f"{warehouse}/entities")
-        self.lineage = SnapshotTable(spark, f"{warehouse}/lineage")
-        self.processed = SnapshotTable(spark, f"{warehouse}/processed_convs")
+        # bucketed by the delete/upsert key: an incremental run rewrites only
+        # the buckets its changed conv_ids hash to
+        self.triples = SnapshotTable(
+            spark, f"{warehouse}/triples", bucket_key="conv_id", n_buckets=n_buckets
+        )
+        # vocabulary-bounded vertex table: fewer buckets, same mechanics
+        self.entities = SnapshotTable(
+            spark, f"{warehouse}/entities", bucket_key="entity_id", n_buckets=16
+        )
+        self.lineage = SnapshotTable(
+            spark, f"{warehouse}/lineage", write_partitions=1
+        )
+        self.processed = SnapshotTable(
+            spark,
+            f"{warehouse}/processed_convs",
+            bucket_key="conv_id",
+            n_buckets=n_buckets,
+        )
+        # persistent surface->entity dictionary (the reference's symbol-index
+        # analog): linking work is per-DISTINCT-surface, so an incremental
+        # run reuses stored links and runs the (codegen-heavy) fuzzy tier
+        # only for never-before-seen surfaces — usually none
+        self.links = SnapshotTable(
+            spark, f"{warehouse}/surface_links", write_partitions=1
+        )
 
     # -- lineage --------------------------------------------------------
 
@@ -106,6 +147,122 @@ class KGPipeline:
             | (F.col("c.conv_hash") != F.col("p.conv_hash"))
         ).select("conv_id", F.col("c.conv_hash").alias("conv_hash"), F.col("c.n_turns").alias("n_turns"))
 
+    # -- consistency (fail_fast) -----------------------------------------
+
+    def verify_consistency(self) -> None:
+        """Raise if the warehouse holds edges for conversations the
+        checkpoint doesn't know about (crash between triple-merge and
+        checkpoint-merge leaves this state; trust_checkpoint converges on it
+        silently, fail_fast surfaces it — config.go:169-186 semantics)."""
+        t = self.triples.read()
+        if t is None:
+            return
+        p = self.processed.read()
+        indexed = t.select("conv_id").dropDuplicates(["conv_id"])
+        if p is None:
+            n = indexed.limit(1).count()
+            if n:
+                raise RuntimeError(
+                    "fail_fast: warehouse has indexed conversations but no "
+                    "processed checkpoint"
+                )
+            return
+        orphan = indexed.join(p, on="conv_id", how="left_anti").limit(1)
+        row = orphan.collect()
+        if row:
+            raise RuntimeError(
+                f"fail_fast: conv {row[0]['conv_id']} is indexed in the "
+                "warehouse but missing from the processed checkpoint"
+            )
+
+    # -- linking with the persistent surface dictionary --------------------
+
+    def _link_with_dictionary(self, surfaces: DataFrame) -> DataFrame:
+        """Link distinct surfaces, reusing the warehouse surface_links table.
+
+        Linking cost is per-DISTINCT-surface (vocabulary-bounded), and the
+        fuzzy tier's expression DAG is the most expensive codegen in the
+        pipeline — so surfaces already linked in a previous run are answered
+        from the stored dictionary (the reference's persistent symbol index,
+        embedded.go :put dictionary), and only never-before-seen surfaces go
+        through link_surfaces. Alias-closure (canon) reruns over the merged
+        map when new surfaces arrive, so chains that bridge old and new
+        surfaces still collapse.
+        """
+        from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+        distinct = surfaces.dropDuplicates(["surface"])
+        stored = self.links.read()
+        if stored is not None:
+            missing = distinct.join(
+                stored.select("surface"), on="surface", how="left_anti"
+            )
+            if missing.isEmpty():
+                return stored.join(distinct, on="surface", how="left_semi")
+            fresh = link.link_surfaces(self.spark, missing)
+            merged = canon.canonicalize_linkmap(stored.unionByName(fresh))
+            self.links.overwrite(merged)
+        else:
+            self.links.overwrite(
+                canon.canonicalize_linkmap(
+                    link.link_surfaces(self.spark, distinct)
+                )
+            )
+        return self.links.read().join(distinct, on="surface", how="left_semi")
+
+    # -- incremental source (Iceberg changelog analog) ----------------------
+
+    def _source_ckpt_path(self) -> str:
+        return f"{self.warehouse}/source_snapshot"
+
+    def last_source_snapshot(self) -> str | None:
+        try:
+            with open(self._source_ckpt_path()) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def _set_source_snapshot(self, snap_id: str | None) -> None:
+        import os
+
+        tmp = self._source_ckpt_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(snap_id or "")
+        os.rename(tmp, self._source_ckpt_path())
+
+    def run_from_table(self, turns: SnapshotTable, **kw) -> dict:
+        """Incremental run that READS only files added since the last indexed
+        source snapshot — the Iceberg-changelog / file-delta path
+        (reference delta.go: unchanged files are never opened, which is
+        where its ~40x incremental speedup comes from; a content-hash delta
+        alone still has to scan everything).
+
+        Changed files name the affected conv_ids; affected conversations are
+        then read back IN FULL via a bucket-pruned point lookup
+        (read_matching), so a conversation whose turns span many files is
+        still reprocessed whole. The content-hash delta inside run() remains
+        the correctness gate — this path only shrinks what gets scanned.
+        """
+        since = self.last_source_snapshot()
+        cur = turns.current_snapshot_id()
+        if since is None:
+            df = turns.read()
+            if df is None:
+                return {"run_id": None, "rows_in": 0, "triples": 0,
+                        "seconds": 0.0, "skipped": True}
+            out = self.run(df, **kw)
+        else:
+            delta_rows = turns.diff_filesets(since)
+            if delta_rows is None:
+                out = {"run_id": None, "rows_in": 0, "triples": 0,
+                       "seconds": 0.0, "skipped": True}
+            else:
+                convs = delta_rows.select("conv_id").dropDuplicates(["conv_id"])
+                scoped = turns.read_matching(convs, ["conv_id"])
+                out = self.run(scoped, **kw)
+        self._set_source_snapshot(cur)
+        return out
+
     # -- run --------------------------------------------------------------
 
     def run(
@@ -115,7 +272,15 @@ class KGPipeline:
         incremental: bool = True,
         prose: bool = True,
         run_id: str | None = None,
+        resume: str = "trust_checkpoint",
+        fail_on_violation: bool = True,
     ) -> dict:
+        if resume not in RESUME_POLICIES:
+            raise ValueError(f"resume must be one of {RESUME_POLICIES}")
+        if resume == "fail_fast":
+            self.verify_consistency()
+        if not incremental:
+            resume = "force_reprocess"
         run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
         lineage_rows: list[dict] = []
         t0 = time.time()
@@ -125,16 +290,16 @@ class KGPipeline:
         # (conv-hash delta + extraction); caching ~100 TB of text trades two
         # columnar scans for GC/storage pressure that caps throughput.
         started = _now()
-        if incremental:
-            delta = self.delta_convs(transcripts).cache()
-        else:
+        if resume == "force_reprocess":
             delta = self._conv_hashes(transcripts).cache()
+        else:
+            delta = self.delta_convs(transcripts).cache()
         # one action: delta count + affected-turn total together
         n_delta, rows_in = delta.agg(
             F.count("*"), F.coalesce(F.sum("n_turns"), F.lit(0))
         ).first()
         n_delta, rows_in = int(n_delta), int(rows_in)
-        if incremental:
+        if resume != "force_reprocess":
             scoped = transcripts.join(
                 delta.select("conv_id").hint("broadcast")
                 if n_delta < 100_000
@@ -149,7 +314,7 @@ class KGPipeline:
                  partition_key=f"convs={n_delta}", started=started, finished=_now())
         )
         if rows_in == 0:
-            delta.unpersist(); scoped.unpersist()
+            delta.unpersist()
             self._record(run_id, lineage_rows)
             return {"run_id": run_id, "rows_in": 0, "triples": 0,
                     "seconds": time.time() - t0, "skipped": True}
@@ -164,11 +329,7 @@ class KGPipeline:
         # 3. link (+ 4. canon on the small distinct-surface link map)
         started = _now()
         ents = mentions.filter(F.col("kind") == "entity")
-        # cache the raw linkmap before canonicalization: the alias-closure
-        # check self-joins it, and re-deriving the fuzzy-tier DAG (heavy
-        # codegen) twice is pure fixed cost
-        linkmap = link.link_surfaces(self.spark, ents.select("surface")).cache()
-        linkmap = canon.canonicalize_linkmap(linkmap).cache()
+        linkmap = self._link_with_dictionary(ents.select("surface")).cache()
         n_surfaces = linkmap.count()
         linked_ents = ents.join(
             F.broadcast(linkmap.select("surface", "entity_id", "link_tier")),
@@ -192,25 +353,36 @@ class KGPipeline:
                  started=started, finished=_now())
         )
 
-        # 5. triples
+        # 5. triples + data-quality observation (same action as the count —
+        # the Observation rides the count job for free; fail-on-violation
+        # matches the reference's ValidateEntities step, datalog.go:62-175)
         started = _now()
-        trips = triples.all_triples(linked, scoped).cache()
+        trips_checked, dq_obs = validate.validate_triples(
+            triples.all_triples(linked, scoped)
+        )
+        trips = trips_checked.cache()
         n_triples = trips.count()
+        dq = dq_obs.get
+        n_violations = sum(v for k, v in dq.items() if k != "rows" and v)
         lineage_rows.append(
             dict(stage="triples", rows_in=n_linked, rows_out=n_triples,
+                 errors=n_violations,
+                 partition_key=None if not n_violations else str(
+                     {k: v for k, v in dq.items() if k != "rows" and v}),
                  started=started, finished=_now())
         )
+        if fail_on_violation and n_violations:
+            self._record(run_id, lineage_rows)
+            validate.assert_clean(dq)
 
-        # 6. materialize (delete stale convs, then idempotent keyed MERGE)
+        # 6. materialize: stale-conv purge + idempotent keyed MERGE fused
+        # into ONE bucket-granular rewrite (anti-join, never a collected
+        # IN-list — driver-safe at 10^6 changed conversations)
         started = _now()
-        if incremental and self.triples.read() is not None:
-            convs = [r["conv_id"] for r in delta.select("conv_id").collect()]
-            if convs:
-                in_list = ",".join(f"'{c}'" for c in convs)
-                self.triples.delete_where(f"conv_id IN ({in_list})")
         snap_id = self.triples.merge(
             trips, keys=["subj", "pred", "obj", "conv_id", "turn_idx"],
-            partition_by=["pred"],
+            purge=delta.select("conv_id"), purge_keys=["conv_id"],
+            purge_covers=True,  # every emitted triple belongs to a delta conv
         )
         from cie_spark.functions import mock_embedding
 
@@ -218,7 +390,7 @@ class KGPipeline:
             linked.groupBy("entity_id")
             .agg(
                 F.min("kind").alias("kind"),
-                F.collect_set("surface").alias("surfaces"),
+                F.array_sort(F.collect_set("surface")).alias("surfaces"),
             )
             .select(
                 "entity_id",
@@ -228,14 +400,20 @@ class KGPipeline:
                 ),
                 "surfaces",
                 # A19 analog: vectorized (deterministic) embedding enrich of
-                # the vertex table — swap mock_embedding for a real provider
-                # UDF in production; the dataflow is identical
+                # the vertex table — swap the provider via
+                # cie_spark.functions.embedding_provider in production; the
+                # dataflow is identical
                 mock_embedding(
                     F.regexp_replace("entity_id", "^(ent:|tool:)", "")
                 ).alias("embedding"),
             )
         )
-        self.entities.merge(ent_df, keys=["entity_id"])
+        # WHEN MATCHED: union the accumulated surface forms instead of
+        # replacing them — an incremental touch must not shrink an entity's
+        # alias set to just the surfaces seen in this delta
+        self.entities.merge(
+            ent_df, keys=["entity_id"], resolve=_merge_entity_surfaces
+        )
         lineage_rows.append(
             dict(stage="materialize", rows_in=n_triples, rows_out=n_triples,
                  started=started, finished=_now(), snapshot_id=snap_id)
@@ -251,14 +429,39 @@ class KGPipeline:
 
         self._record(run_id, lineage_rows)
         secs = time.time() - t0
-        for df in (delta, scoped, mentions, linkmap, linked, trips):
+        for df in (delta, mentions, linkmap, linked, trips):
             df.unpersist()
         return {
             "run_id": run_id,
             "rows_in": rows_in,
             "mentions": n_mentions,
             "triples": n_triples,
+            "dq_violations": n_violations,
             "seconds": secs,
             "triples_per_sec": n_triples / secs if secs > 0 else 0.0,
             "snapshot_id": snap_id,
         }
+
+
+def _merge_entity_surfaces(cur: DataFrame | None, new: DataFrame) -> DataFrame:
+    """MERGE WHEN MATCHED resolver: surfaces := sort(union(old, new))."""
+    if cur is None:
+        return new
+    prev = cur.select("entity_id", F.col("surfaces").alias("_prev_surfaces"))
+    return (
+        new.join(prev, on="entity_id", how="left")
+        .withColumn(
+            "surfaces",
+            F.array_sort(
+                F.array_union(
+                    F.coalesce(
+                        F.col("_prev_surfaces"),
+                        F.array().cast("array<string>"),
+                    ),
+                    F.col("surfaces"),
+                )
+            ),
+        )
+        .drop("_prev_surfaces")
+        .select(new.columns)
+    )

@@ -2,14 +2,14 @@
 
 The sandbox image ships no Iceberg/Delta jars, so this module provides the
 subset of table semantics the pipeline needs — atomic snapshot commits,
-append / copy-on-write MERGE / delete, time-travel reads, snapshot diff —
-over parquet files + JSON manifests. The layout mirrors Iceberg's
-metadata/data split:
+append / MERGE / delete, time-travel reads, snapshot diff — over parquet
+files + JSON manifests. The layout mirrors Iceberg's metadata/data split:
 
     <root>/
-      data/<fileset-uuid>/part-*.parquet     immutable filesets
-      snapshots/<seq>-<uuid>.json            manifest: list of live filesets
-      HEAD                                   name of current manifest (atomic rename)
+      data/<fileset-uuid>/part-*.parquet               immutable filesets
+      data/<fileset-uuid>/_bucket=K/part-*.parquet     (bucketed tables)
+      snapshots/<seq>-<uuid>.json                      manifest of live files
+      HEAD                                             atomic rename pointer
 
 Commit protocol: write data files -> write manifest to a temp name ->
 os.rename onto HEAD (atomic on POSIX). Readers resolve HEAD once and read a
@@ -17,9 +17,25 @@ consistent fileset. On a real deployment this class is swapped for Iceberg
 catalog calls (`df.writeTo(tbl).append()` / MERGE INTO) — the pipeline code
 only uses this narrow interface.
 
+Bucketed tables (partition-granular copy-on-write)
+--------------------------------------------------
+Constructed with ``bucket_key``/``n_buckets``, the table hash-partitions
+rows into N buckets by ``pmod(xxhash64(bucket_key), N)`` (the analog of
+Iceberg's ``bucket(N, col)`` partition transform). MERGE / DELETE then
+rewrite ONLY the buckets containing affected keys; unaffected buckets are
+carried forward by manifest reference — zero I/O. This is what makes a
+10-row incremental delta cheap on a 100-TB table: the rewrite cost is
+O(delta_buckets × bucket_size), not O(table). The manifest maps each bucket
+to its live data directories, so readers still resolve one consistent
+snapshot. At deployment scale ``n_buckets`` is sized so a bucket fits a
+single executor's write throughput (e.g. 4096 buckets for a 100-TB table
+-> ~25 GB/bucket).
+
 Analog of the reference's storage layer: idempotent `:put` upserts
-(datalog.go:177-199), cascading deletes (embedded.go:336-391), checkpoint =
-committed snapshot (checkpoint.go:29-177).
+(datalog.go:177-199), cascading per-file deletes (embedded.go:336-391),
+checkpoint = committed snapshot (checkpoint.go:29-177). Where the reference
+deletes/upserts per source file, this table deletes/upserts per hash bucket
+— the same granularity idea expressed as a Spark-friendly layout.
 """
 
 from __future__ import annotations
@@ -28,15 +44,30 @@ import json
 import os
 import time
 import uuid
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        *,
+        bucket_key: str | None = None,
+        n_buckets: int = 128,
+        write_partitions: int | None = None,
+    ):
         self.spark = spark
         self.root = root
+        self.bucket_key = bucket_key
+        self.n_buckets = n_buckets
+        # unbucketed writes: None -> spread across shuffle-partition count
+        # (throughput tables); small metadata tables (lineage) set 1 so a
+        # 6-row append is one task + one file, not 32 empty ones
+        self.write_partitions = write_partitions
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
 
@@ -54,6 +85,9 @@ class SnapshotTable:
         except FileNotFoundError:
             return None
 
+    def exists(self) -> bool:
+        return self.current_snapshot() is not None
+
     def snapshots(self) -> list[dict]:
         out = []
         snap_dir = os.path.join(self.root, "snapshots")
@@ -66,7 +100,14 @@ class SnapshotTable:
         s = self.current_snapshot()
         return s["snapshot_id"] if s else None
 
-    def _commit(self, filesets: list[str], op: str, summary: dict) -> str:
+    def _commit(
+        self,
+        filesets: list[str],
+        op: str,
+        summary: dict,
+        buckets: dict[int, list[str]] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> str:
         prev = self.current_snapshot()
         seq = (prev["seq"] + 1) if prev else 0
         snap_id = f"{seq:06d}-{uuid.uuid4().hex[:12]}"
@@ -79,6 +120,10 @@ class SnapshotTable:
             "summary": summary,
             "committed_at": time.time(),
         }
+        if buckets is not None:
+            manifest["buckets"] = {str(k): v for k, v in sorted(buckets.items())}
+        if partition_by is not None:
+            manifest["partition_by"] = partition_by
         name = snap_id + ".json"
         tmp = os.path.join(self.root, "snapshots", "." + name + ".tmp")
         with open(tmp, "w") as f:
@@ -90,7 +135,34 @@ class SnapshotTable:
         os.rename(head_tmp, self._head_path())
         return snap_id
 
+    @staticmethod
+    def _bucket_map(snap: dict) -> dict[int, list[str]]:
+        return {int(k): v for k, v in snap.get("buckets", {}).items()}
+
+    def _effective_partition_by(
+        self, snap: dict | None, requested: list[str] | None
+    ) -> list[str] | None:
+        """A bucketed table's sub-bucket partition layout is fixed by its
+        first write: mixing partition-dir and plain files in one table would
+        break partition discovery on multi-path reads."""
+        if snap is not None and "partition_by" in snap:
+            return snap["partition_by"] or None
+        return requested
+
     # -- data ---------------------------------------------------------------
+
+    def _bucket_col(self):
+        return F.pmod(F.xxhash64(F.col(self.bucket_key)), F.lit(self.n_buckets)).cast(
+            "int"
+        )
+
+    def _affected_buckets(self, df: DataFrame) -> set[int]:
+        """Distinct buckets touched by `df`'s bucket_key values. The collect
+        is bounded by n_buckets (ints), never by row count — driver-safe."""
+        return {
+            r[0]
+            for r in df.select(self._bucket_col().alias("_b")).distinct().collect()
+        }
 
     def _write_fileset(self, df: DataFrame, partition_by: list[str] | None) -> str:
         fs = "fs-" + uuid.uuid4().hex[:12]
@@ -99,32 +171,125 @@ class SnapshotTable:
         # stage to a handful of partitions (right for shuffles, wrong for
         # the I/O-bound encode+write step, which then runs near-serially
         # and caps scaling). Round-robin repartition = every core writes.
-        n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        n_part = self.write_partitions or int(
+            self.spark.conf.get("spark.sql.shuffle.partitions")
+        )
         w = df.repartition(n_part).write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
         return fs
 
-    def read(self, snapshot_id: str | None = None) -> DataFrame | None:
+    def _write_bucketed(
+        self, df: DataFrame, partition_by: list[str] | None
+    ) -> tuple[str, dict[int, list[str]]]:
+        """Write a fileset partitioned by _bucket (then partition_by).
+
+        Shuffle keyed on _bucket alone: every bucket lands in exactly one
+        task, so the fileset holds exactly one file per (bucket, partition)
+        — no small-file explosion. Parallelism = live buckets (n_buckets is
+        sized >= cluster cores, so a full write keeps every core busy; an
+        incremental write touches few buckets and is tiny by construction).
+        """
+        fs = "fs-" + uuid.uuid4().hex[:12]
+        path = os.path.join(self.root, "data", fs)
+        dfb = df.withColumn("_bucket", self._bucket_col()).repartition(
+            self.n_buckets, "_bucket"
+        )
+        w = dfb.write.mode("overwrite").partitionBy("_bucket", *(partition_by or []))
+        w.parquet(path)
+        buckets: dict[int, list[str]] = {}
+        if os.path.isdir(path):
+            for d in os.listdir(path):
+                if d.startswith("_bucket="):
+                    buckets[int(d.split("=", 1)[1])] = [f"{fs}/{d}"]
+        return fs, buckets
+
+    def _read_paths(self, rel_paths: list[str]) -> DataFrame | None:
+        """Read a set of data paths. Bucket-partition dirs are grouped by
+        fileset and read with basePath = the fileset root so partition
+        discovery stays consistent across mixed path sets; the internal
+        _bucket partition column is dropped (it is derivable from
+        bucket_key). One read per fileset — bounded by commit count, not by
+        data size; the unions are plan-level only."""
+        if not rel_paths:
+            return None
+        plain = [p for p in rel_paths if "/_bucket=" not in p]
+        by_fs: dict[str, list[str]] = {}
+        for p in rel_paths:
+            if "/_bucket=" in p:
+                by_fs.setdefault(p.split("/", 1)[0], []).append(p)
+        parts: list[DataFrame] = []
+        if plain:
+            parts.append(
+                self.spark.read.option("mergeSchema", "false").parquet(
+                    *[os.path.join(self.root, "data", p) for p in plain]
+                )
+            )
+        for fs, ps in sorted(by_fs.items()):
+            df = (
+                self.spark.read.option("mergeSchema", "false")
+                .option("basePath", os.path.join(self.root, "data", fs))
+                .parquet(*[os.path.join(self.root, "data", p) for p in ps])
+            )
+            parts.append(df.drop("_bucket"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read(
+        self, snapshot_id: str | None = None, buckets: list[int] | None = None
+    ) -> DataFrame | None:
         if snapshot_id is None:
             snap = self.current_snapshot()
         else:
             snap = next(
                 (s for s in self.snapshots() if s["snapshot_id"] == snapshot_id), None
             )
-        if snap is None or not snap["filesets"]:
+        if snap is None:
             return None
-        paths = [os.path.join(self.root, "data", fs) for fs in snap["filesets"]]
-        return self.spark.read.option("mergeSchema", "false").parquet(*paths)
+        if self.bucket_key is not None and "buckets" in snap:
+            bmap = self._bucket_map(snap)
+            keys = sorted(bmap) if buckets is None else sorted(set(buckets) & set(bmap))
+            return self._read_paths([p for b in keys for p in bmap[b]])
+        if not snap["filesets"]:
+            return None
+        return self._read_paths(list(snap["filesets"]))
+
+    def read_matching(self, match_df: DataFrame, keys: list[str]) -> DataFrame | None:
+        """Rows whose `keys` match a row of match_df — reads only the buckets
+        match_df's bucket_key values hash to (partition-pruned point lookup),
+        then left-semi joins. match_df must carry the bucket_key column."""
+        if self.bucket_key is None:
+            cur = self.read()
+        else:
+            cur = self.read(buckets=sorted(self._affected_buckets(match_df)))
+        if cur is None:
+            return None
+        return cur.join(match_df.dropDuplicates(keys), on=keys, how="left_semi")
 
     def append(self, df: DataFrame, partition_by: list[str] | None = None) -> str:
-        fs = self._write_fileset(df, partition_by)
         prev = self.current_snapshot()
+        if self.bucket_key is not None:
+            part = self._effective_partition_by(prev, partition_by)
+            fs, new_buckets = self._write_bucketed(df, part)
+            bmap = self._bucket_map(prev) if prev else {}
+            for b, paths in new_buckets.items():
+                bmap.setdefault(b, []).extend(paths)
+            filesets = (prev["filesets"] if prev else []) + [fs]
+            return self._commit(
+                filesets, "append", {"added_filesets": 1}, bmap, part or []
+            )
+        fs = self._write_fileset(df, partition_by)
         filesets = (prev["filesets"] if prev else []) + [fs]
         return self._commit(filesets, "append", {"added_filesets": 1})
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> str:
+        if self.bucket_key is not None:
+            part = self._effective_partition_by(self.current_snapshot(), partition_by)
+            fs, buckets = self._write_bucketed(df, part)
+            return self._commit([fs], "overwrite", {}, buckets, part or [])
         fs = self._write_fileset(df, partition_by)
         return self._commit([fs], "overwrite", {})
 
@@ -133,23 +298,140 @@ class SnapshotTable:
         df: DataFrame,
         keys: list[str],
         partition_by: list[str] | None = None,
+        purge: DataFrame | None = None,
+        purge_keys: list[str] | None = None,
+        resolve: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
+        purge_covers: bool = False,
     ) -> str:
         """Copy-on-write MERGE: WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT,
-        keyed on `keys`. Existing rows whose key collides are replaced by the
-        incoming row — idempotent upsert (reference :put semantics)."""
+        keyed on `keys` — idempotent upsert (reference :put semantics,
+        datalog.go:177-199).
+
+        `purge`/`purge_keys`: rows of the current table matching `purge` on
+        `purge_keys` are dropped in the same rewrite (the cascading
+        stale-edge delete, embedded.go:336-391, fused with the upsert so
+        affected buckets are rewritten ONCE, not twice). The purge predicate
+        is an anti-JOIN against a DataFrame — never a collected-to-driver IN
+        list, so a delta of 10^6 keys costs one keyed shuffle, not driver
+        memory.
+
+        `resolve(current_matched, incoming) -> incoming'`: optional row
+        combiner for matched keys (e.g. array_union of accumulated fields)
+        — the MERGE ... WHEN MATCHED THEN UPDATE SET expression analog.
+
+        On a bucketed table only the buckets containing affected keys are
+        read + rewritten; every other bucket is carried forward untouched.
+        """
+        cur_snap = self.current_snapshot()
+        if self.bucket_key is not None:
+            if cur_snap is None or not self._bucket_map(cur_snap):
+                if resolve is not None:
+                    df = resolve(None, df)
+                return self.overwrite(df, partition_by)
+            # purge_covers: caller guarantees every incoming key's bucket is
+            # also a purge-key bucket (e.g. purge = changed conv_ids and
+            # incoming rows all belong to changed convs) — saves one
+            # distinct-collect job on the incoming frame
+            if purge is not None and purge_covers:
+                aff = self._affected_buckets(purge)
+            else:
+                aff = self._affected_buckets(df)
+                if purge is not None:
+                    aff |= self._affected_buckets(purge)
+            bmap = self._bucket_map(cur_snap)
+            touched = sorted(aff & set(bmap))
+            cur = self._read_paths([p for b in touched for p in bmap[b]])
+            incoming = df
+            if cur is not None:
+                if purge is not None:
+                    cur = cur.join(
+                        purge.dropDuplicates(purge_keys),
+                        on=purge_keys,
+                        how="left_anti",
+                    )
+                if resolve is not None:
+                    incoming = resolve(cur, df)
+                kept = cur.join(
+                    incoming.select(*keys).dropDuplicates(keys),
+                    on=keys,
+                    how="left_anti",
+                )
+                merged = kept.select(incoming.columns).unionByName(incoming)
+            else:
+                merged = resolve(None, df) if resolve is not None else df
+            part = self._effective_partition_by(cur_snap, partition_by)
+            fs, new_buckets = self._write_bucketed(merged, part)
+            new_bmap = {b: p for b, p in bmap.items() if b not in aff}
+            new_bmap.update(new_buckets)
+            return self._commit(
+                [fs], "merge",
+                {"keys": keys, "rewritten_buckets": len(aff),
+                 "carried_buckets": len(new_bmap) - len(new_buckets)},
+                new_bmap, part or [],
+            )
+        # unbucketed: full-table copy-on-write (small tables only)
         cur = self.read()
         if cur is None:
+            if resolve is not None:
+                df = resolve(None, df)
             return self.overwrite(df, partition_by)
+        if purge is not None:
+            cur = cur.join(
+                purge.dropDuplicates(purge_keys), on=purge_keys, how="left_anti"
+            )
+        if resolve is not None:
+            df = resolve(cur, df)
         kept = cur.join(df.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
         merged = kept.select(df.columns).unionByName(df)
         fs = self._write_fileset(merged, partition_by)
         return self._commit([fs], "merge", {"keys": keys})
 
+    def delete_matching(self, match_df: DataFrame, keys: list[str]) -> str:
+        """Delete rows whose `keys` match a row of match_df (anti-join — no
+        driver collect, no string-predicate injection). Bucketed tables
+        rewrite only affected buckets."""
+        cur_snap = self.current_snapshot()
+        if cur_snap is None:
+            return self._commit([], "delete", {"keys": keys})
+        if self.bucket_key is not None and self._bucket_map(cur_snap):
+            aff = self._affected_buckets(match_df)
+            bmap = self._bucket_map(cur_snap)
+            touched = sorted(aff & set(bmap))
+            part = self._effective_partition_by(cur_snap, None)
+            if not touched:
+                return self._commit(
+                    cur_snap["filesets"], "delete", {"keys": keys, "noop": True},
+                    bmap, part or [],
+                )
+            cur = self._read_paths([p for b in touched for p in bmap[b]])
+            remaining = cur.join(
+                match_df.dropDuplicates(keys), on=keys, how="left_anti"
+            )
+            fs, new_buckets = self._write_bucketed(remaining, part)
+            new_bmap = {b: p for b, p in bmap.items() if b not in aff}
+            new_bmap.update(new_buckets)
+            return self._commit(
+                [fs], "delete", {"keys": keys, "rewritten_buckets": len(touched)},
+                new_bmap, part or [],
+            )
+        cur = self.read()
+        remaining = cur.join(match_df.dropDuplicates(keys), on=keys, how="left_anti")
+        fs = self._write_fileset(remaining, None)
+        return self._commit([fs], "delete", {"keys": keys})
+
     def delete_where(self, condition: str) -> str:
+        """Predicate delete (full-table rewrite — use delete_matching for
+        keyed deletes at scale)."""
         cur = self.read()
         if cur is None:
             return self._commit([], "delete", {"condition": condition})
         remaining = cur.filter(~F.expr(condition))
+        if self.bucket_key is not None:
+            part = self._effective_partition_by(self.current_snapshot(), None)
+            fs, buckets = self._write_bucketed(remaining, part)
+            return self._commit(
+                [fs], "delete", {"condition": condition}, buckets, part or []
+            )
         fs = self._write_fileset(remaining, None)
         return self._commit([fs], "delete", {"condition": condition})
 

@@ -5,9 +5,14 @@ incremental reindex (cmd/cie/watch.go:28-127). Spark-first shape:
 
 - `readStream` over the transcripts directory (file-source picks up newly
   landed parquet files — the fsnotify analog),
-- `foreachBatch` runs the SAME incremental pipeline used in batch mode
-  (per-conversation hash delta + idempotent MERGE), so streaming and batch
-  share one code path,
+- each micro-batch is first UPSERTED into a bronze `turns` snapshot table
+  keyed on (conv_id, turn_idx); the affected conversations are then read
+  back IN FULL (bucket-pruned point lookup) and fed to the SAME incremental
+  pipeline used in batch mode. This makes cross-batch conversations correct:
+  a conversation whose turns arrive across multiple files/batches is always
+  re-indexed from its complete accumulated turn set, never from a partial
+  batch (which would silently drop earlier turns' edges and checkpoint a
+  partial hash).
 - `Trigger.AvailableNow` = drain-everything-then-stop (cron-style catch-up);
   a processingTime trigger gives the continuous watch with the trigger
   interval playing the debounce role.
@@ -20,6 +25,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from cie_spark import schema
 from cie_spark.plans.pipeline import KGPipeline
+from cie_spark.sources.io_snapshots import SnapshotTable
 
 
 def watch(
@@ -39,6 +45,9 @@ def watch(
     processing-time trigger (the 2s-debounce analog).
     """
     pipe = KGPipeline(spark, warehouse)
+    turns = SnapshotTable(
+        spark, f"{warehouse}/turns", bucket_key="conv_id", n_buckets=128
+    )
     stream = (
         spark.readStream.schema(schema.TRANSCRIPTS)
         .option("maxFilesPerTrigger", 64)
@@ -47,7 +56,18 @@ def watch(
 
     def _batch(df, epoch_id: int) -> None:
         # single-flight by construction: foreachBatch is serialized per query
-        pipe.run(df, incremental=True, prose=prose, run_id=f"stream-{epoch_id}")
+        batch = df.localCheckpoint(eager=True)  # pin: stream frames are one-pass
+        if batch.isEmpty():
+            return
+        # 1. accumulate the batch into the bronze turns table (idempotent
+        #    upsert keyed on (conv_id, turn_idx) — replays are safe)
+        turns.merge(batch, keys=["conv_id", "turn_idx"])
+        # 2. re-read the FULL turn set of every affected conversation
+        convs = batch.select("conv_id").dropDuplicates(["conv_id"])
+        full = turns.read_matching(convs, ["conv_id"])
+        # 3. same incremental pipeline as batch mode (hash delta + purge +
+        #    idempotent MERGE)
+        pipe.run(full, incremental=True, prose=prose, run_id=f"stream-{epoch_id}")
 
     writer = stream.writeStream.foreachBatch(_batch).option(
         "checkpointLocation", checkpoint_dir

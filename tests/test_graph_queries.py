@@ -83,6 +83,81 @@ def test_semantic_search_keyword_boost(gq):
     assert got[0].canonical_name == "postgresql"
 
 
+def test_semantic_search_post_filters_and_fallback(gq):
+    # min_similarity post-filter: every surviving row clears the floor
+    strict = gq.semantic_search(
+        "postgresql database", k=10, min_similarity=0.05, exclude_stubs=True
+    ).collect()
+    assert all(r.sim >= 0.05 for r in strict)
+    assert all(not r.entity_id.startswith("ent:") or len(r.entity_id) != 20
+               or r.canonical_name for r in strict)
+    # name_filter regex restricts the result set
+    filt = gq.semantic_search(
+        "postgresql database", k=10, name_filter="^postg"
+    ).collect()
+    assert filt and all(r.canonical_name.startswith("postg") for r in filt)
+    # keyword fallback (no embedding service): pure term-hit ranking
+    fb = gq.semantic_search(
+        "postgresql database", k=5, use_embeddings=False
+    ).collect()
+    assert fb and fb[0].canonical_name == "postgresql"
+    assert all(r.score > 0 for r in fb)
+
+
+def test_find_callers_indirect_bfs(gq, spark):
+    """3-hop chain fixture: agent2 never calls tool 'alpha' but shares tool
+    'beta' with agent1 (who does) -> agent2 is an indirect caller at depth 3."""
+    rows = [
+        ("agent:a1", "calls", "tool:alpha", "c1", 0, None, 1),
+        ("agent:a1", "calls", "tool:beta", "c1", 1, None, 1),
+        ("agent:a2", "calls", "tool:beta", "c2", 0, None, 1),
+        ("agent:a3", "calls", "tool:gamma", "c3", 0, None, 1),  # disconnected
+    ]
+    trips = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, conv_id string, "
+        "turn_idx int, ts timestamp, weight long",
+    )
+    g = GraphQueries(trips)
+    got = {r.subj: (r.n_calls, r.indirect)
+           for r in g.find_callers("tool:alpha", include_indirect=True).collect()}
+    assert got["agent:a1"] == (1, False)  # direct
+    assert got["agent:a2"] == (0, True)   # 3 hops: alpha<-a1<-beta<-a2
+    assert "agent:a3" not in got          # unreachable within depth 3
+    # depth map sanity via the generic BFS
+    reach = {
+        r.node: r.depth
+        for r in g.bfs_reachable(
+            trips.select("subj", "obj"), "tool:alpha", max_depth=3
+        ).collect()
+    }
+    assert reach["agent:a1"] == 1 and reach["tool:beta"] == 2 and reach["agent:a2"] == 3
+
+
+def test_get_code_exact_then_partial(gq, spark):
+    # exact match exists -> only exact rows, truncated at max_chars
+    got = gq.get_code("PostgreSQL", max_chars=10, limit=5).collect()
+    assert got and all(r.match_kind == "exact" for r in got)
+    assert all(len(r.code_text) <= 10 for r in got)
+    assert any(r.truncated for r in got)
+    # no exact match -> partial fallback ('postgre' is a substring of
+    # 'postgresql' but not a canonical name)
+    part = gq.get_code("postgre", max_chars=100, limit=5).collect()
+    assert part and all(r.match_kind == "partial" for r in part)
+    # no match at all -> empty
+    assert gq.get_code("zzz-no-such-entity").collect() == []
+
+
+def test_grep_context_lines(gq):
+    rows = gq.grep_context("discussed").collect()
+    assert rows
+    for r in rows:
+        assert "discussed" in r.text
+        # context columns exist; first turn of a conv has no prev
+        if r.turn_idx > 0:
+            assert r.prev_text is not None
+
+
 def test_trace_path_bfs(gq):
     # connected entities within one conversation: find any mentioned_with
     # edge and trace it (depth 1), then a 2-hop target via a shared neighbor

@@ -51,6 +51,37 @@ def test_lsh_blocking_is_subset_of_exact(spark):
         assert exact[s][1] in ("dict", "fuzzy", "stub")
 
 
+def test_auto_lsh_switch_on_large_dictionary(spark):
+    """With a dictionary above AUTO_LSH_DICT_SIZE the fuzzy tier must take
+    the LSH-blocked path (no broadcast nested-loop / cartesian product in
+    the plan); below it, the exact path. Results on the fixture vocab agree
+    either way."""
+    from pyspark.sql import functions as F
+
+    from cie_spark.operators import link
+
+    big = spark.range(link.AUTO_LSH_DICT_SIZE + 1).select(
+        F.concat(F.lit("synth-entry-"), F.col("id")).alias("surface_norm"),
+        F.concat(F.lit("ent:synth-"), F.col("id")).alias("entity_id"),
+        F.concat(F.lit("synth-"), F.col("id")).alias("canonical_name"),
+    )
+    surfaces = spark.createDataFrame(
+        [("synth entry 7",), ("unrelated-thing",)], "surface string"
+    )
+    auto = link.link_surfaces(
+        spark, surfaces, dictionary=big,
+        dictionary_size=link.AUTO_LSH_DICT_SIZE + 1,
+    )
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert auto.count() == 2  # both surfaces linked (fuzzy or stub)
+
+    small_exact = _link(spark, ["PostgreSQL 14", "kafka!"], use_lsh=False)
+    small_auto = _link(spark, ["PostgreSQL 14", "kafka!"])  # vocab < threshold
+    assert small_auto == small_exact  # auto picks the exact path here
+
+
 def test_oracle_link_agrees_with_spark(spark):
     from cie_spark import oracle
 

@@ -1,0 +1,155 @@
+"""Round-2 pipeline semantics: DQ fail-on-violation, resume policies
+(fail_fast / force_reprocess / trust_checkpoint), changed-files-only
+incremental (run_from_table), and entity-surface accumulation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import cie_spark.plans.pipeline as pl
+from cie_spark.plans.pipeline import KGPipeline
+from cie_spark.sources.gen import generate_transcripts
+from cie_spark.sources.io_snapshots import SnapshotTable
+
+
+def _triple_set(p):
+    return {
+        (r.subj, r.pred, r.obj, r.conv_id, r.turn_idx)
+        for r in p.triples.read().select(
+            "subj", "pred", "obj", "conv_id", "turn_idx"
+        ).collect()
+    }
+
+
+def test_dq_violation_fails_the_run(spark, tmp_path, monkeypatch):
+    """Injected bad triple rows (empty subj, unknown pred, negative turn)
+    must abort the run before materialize — datalog.go:62-175 semantics."""
+    orig = pl.triples.all_triples
+
+    def bad(linked, transcripts=None):
+        df = orig(linked, transcripts)
+        bad_row = df.sparkSession.createDataFrame(
+            [("", "bogus", "x", "conv-bad", -1, None, 1)],
+            "subj string, pred string, obj string, conv_id string, "
+            "turn_idx int, ts timestamp, weight long",
+        )
+        return df.unionByName(bad_row)
+
+    monkeypatch.setattr(pl.triples, "all_triples", bad)
+    p = KGPipeline(spark, str(tmp_path / "wh"))
+    t = generate_transcripts(spark, n_convs=4, avg_turns=5, seed=3)
+    with pytest.raises(ValueError, match="data-quality violations"):
+        p.run(t)
+    # nothing was materialized
+    assert p.triples.read() is None
+    # the violation counts were recorded in lineage before the abort
+    lin = {r.stage: r for r in p.lineage.read().collect()}
+    assert lin["triples"].errors >= 3
+
+
+def test_fail_fast_detects_checkpoint_drift(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    p = KGPipeline(spark, wh)
+    t = generate_transcripts(spark, n_convs=5, avg_turns=5, seed=4).cache()
+    p.run(t)
+    # simulate a crash artifact: a conv indexed in triples but evicted from
+    # the processed checkpoint
+    one = spark.createDataFrame([("conv-000002",)], "conv_id string")
+    p.processed.delete_matching(one, keys=["conv_id"])
+    with pytest.raises(RuntimeError, match="fail_fast"):
+        p.run(t, resume="fail_fast")
+    # trust_checkpoint converges silently on the same state
+    r = p.run(t, resume="trust_checkpoint")
+    assert not r.get("skipped")  # conv-000002 reprocessed
+    t.unpersist()
+
+
+def test_force_reprocess_reemits_everything(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    p = KGPipeline(spark, wh)
+    t = generate_transcripts(spark, n_convs=5, avg_turns=5, seed=5).cache()
+    p.run(t)
+    base = _triple_set(p)
+    r1 = p.run(t)  # trust_checkpoint: no-op
+    assert r1.get("skipped") is True
+    r2 = p.run(t, resume="force_reprocess")
+    assert not r2.get("skipped")
+    assert r2["rows_in"] > 0
+    assert _triple_set(p) == base  # idempotent replay
+    t.unpersist()
+
+    with pytest.raises(ValueError, match="resume"):
+        p.run(t, resume="bogus_policy")
+
+
+def test_run_from_table_reads_only_changed_files(spark, tmp_path):
+    """Snapshot-diff incremental: edit one conversation via an upsert into
+    the source table; run_from_table must converge to the same warehouse
+    state as a full rebuild, and a further run must be a no-op."""
+    src = SnapshotTable(
+        spark, str(tmp_path / "src"), bucket_key="conv_id", n_buckets=16
+    )
+    t = generate_transcripts(spark, n_convs=10, avg_turns=6, seed=9).cache()
+    src.overwrite(t)
+
+    p = KGPipeline(spark, str(tmp_path / "wh"))
+    full = p.run_from_table(src)
+    assert full["triples"] > 0
+
+    edited = (
+        src.read()
+        .filter((F.col("conv_id") == "conv-000004") & (F.col("turn_idx") == 1))
+        .withColumn("text", F.lit("now about [[Grafana]] and [[Terraform]]"))
+    )
+    src.merge(edited, keys=["conv_id", "turn_idx"])
+    incr = p.run_from_table(src)
+    assert not incr.get("skipped")
+    got = _triple_set(p)
+
+    # oracle: full rebuild of the edited corpus in a fresh warehouse
+    p2 = KGPipeline(spark, str(tmp_path / "wh2"))
+    p2.run(src.read(), incremental=False)
+    assert got == _triple_set(p2)
+
+    # no further changes -> no-op (snapshot diff finds nothing)
+    again = p.run_from_table(src)
+    assert again.get("skipped") is True
+    t.unpersist()
+
+
+def test_incremental_touch_preserves_entity_surfaces(spark, tmp_path):
+    """An incremental run that sees only ONE surface form of an entity must
+    not shrink the entity's accumulated surface set (MERGE WHEN MATCHED
+    unions, not replaces)."""
+    wh = str(tmp_path / "wh")
+    p = KGPipeline(spark, wh)
+    rows = [
+        ("c1", 0, "user", "about [[PostgreSQL]]", None, None),
+        ("c1", 1, "user", "also [[Postgres]] and [[pg]]", None, None),
+        ("c2", 0, "user", "only [[pg]] here", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    p.run(t, prose=False)
+    before = {
+        r.entity_id: set(r.surfaces) for r in p.entities.read().collect()
+    }
+    assert {"PostgreSQL", "Postgres", "pg"} <= before["ent:postgresql"]
+
+    # touch only c2 (the pg-only conversation)
+    t2 = t.withColumn(
+        "text",
+        F.when(
+            (F.col("conv_id") == "c2") & (F.col("turn_idx") == 0),
+            F.lit("edited, still [[pg]] only"),
+        ).otherwise(F.col("text")),
+    )
+    p.run(t2, prose=False)
+    after = {
+        r.entity_id: set(r.surfaces) for r in p.entities.read().collect()
+    }
+    assert {"PostgreSQL", "Postgres", "pg"} <= after["ent:postgresql"]

@@ -49,3 +49,39 @@ def test_near_dup_pairs_threshold(spark, emb):
     for r in pairs:
         assert r.sim >= 0.5
         assert r.id_a < r.id_b
+
+
+def test_near_dup_banded_recall_on_planted_pairs(spark):
+    """Plant known near-duplicate vectors (tiny perturbations of shared
+    bases) among random noise: the banded candidate join must recover >= 90%
+    of the exact-oracle pairs at threshold 0.9 — the recall guarantee the
+    exact-signature-equality formulation could not give."""
+    rng = np.random.default_rng(7)
+    dim = 32
+    rows = []
+    vid = 0
+    # 20 clusters of 3 near-identical vectors -> 60 planted pairs
+    for _ in range(20):
+        base = rng.standard_normal(dim)
+        for _ in range(3):
+            v = base + 0.03 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    # 200 unrelated noise vectors
+    for _ in range(200):
+        rows.append((vid, [float(x) for x in rng.standard_normal(dim)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in simsearch.cosine_near_dup_exact(df, threshold=0.9).collect()
+    }
+    assert len(exact) >= 50  # the planted pairs are really there
+    banded = {
+        (r.id_a, r.id_b)
+        for r in simsearch.cosine_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    assert banded <= exact  # exact verify => precision 1.0
+    recall = len(banded & exact) / len(exact)
+    assert recall >= 0.9, f"banded recall {recall:.2f} < 0.9"

@@ -35,6 +35,53 @@ def test_watch_available_now(spark, tmp_path):
     assert after.select("conv_id").distinct().count() > trips.select("conv_id").distinct().count()
 
 
+def test_watch_cross_batch_conversation(spark, tmp_path):
+    """A conversation whose turns arrive in DIFFERENT micro-batches must be
+    indexed from its full accumulated turn set: the second batch must not
+    erase the first batch's edges (the partial-conversation hazard — the
+    bronze turns table + read-back makes this converge to the all-at-once
+    result)."""
+    import datetime as dt
+
+    tdir = str(tmp_path / "transcripts")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    ddl = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    ts = dt.datetime(2026, 1, 1)
+    part1 = spark.createDataFrame(
+        [("cx", 0, "user", "about [[Kafka]]", None, ts)], ddl
+    )
+    part2 = spark.createDataFrame(
+        [("cx", 1, "user", "also [[Redis]]", None, ts)], ddl
+    )
+
+    part1.write.mode("overwrite").parquet(tdir)
+    watch(spark, tdir, wh, checkpoint_dir=ckpt, available_now=True).awaitTermination(120)
+    part2.write.mode("append").parquet(tdir)
+    watch(spark, tdir, wh, checkpoint_dir=ckpt, available_now=True).awaitTermination(120)
+
+    p = KGPipeline(spark, wh)
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in p.triples.read().select("subj", "pred", "obj").collect()
+    }
+
+    # oracle: the same turns indexed all at once
+    p2 = KGPipeline(spark, str(tmp_path / "wh2"))
+    p2.run(part1.unionByName(part2), incremental=False)
+    want = {
+        (r.subj, r.pred, r.obj)
+        for r in p2.triples.read().select("subj", "pred", "obj").collect()
+    }
+    assert got == want
+    # both entities' contains-edges survive the second batch
+    assert ("conv:cx", "contains", "ent:apache-kafka") in got
+    assert ("conv:cx", "contains", "ent:redis") in got
+
+
 def test_validate_triples_clean_and_dirty(spark):
     t = generate_transcripts(spark, n_convs=4, avg_turns=6, seed=5)
     from cie_spark.operators.extract import extract_mentions

@@ -29,6 +29,11 @@ def main() -> int:
     ap.add_argument("--avg-turns", type=int, default=40)
     ap.add_argument("--changed", type=int, default=10)
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument(
+        "--buckets", type=int, default=128,
+        help="hash buckets for source + warehouse tables (Iceberg practice: "
+             "scale with table size so a delta rewrite touches a small slice)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -49,10 +54,12 @@ def main() -> int:
     try:
         # setup (untimed): land the corpus in the source table
         t = generate_transcripts(spark, n_convs=args.convs, avg_turns=args.avg_turns)
-        turns = SnapshotTable(spark, src, bucket_key="conv_id", n_buckets=128)
+        turns = SnapshotTable(
+            spark, src, bucket_key="conv_id", n_buckets=args.buckets
+        )
         turns.overwrite(t)
 
-        pipe = KGPipeline(spark, wh)
+        pipe = KGPipeline(spark, wh, n_buckets=args.buckets)
         full = pipe.run_from_table(turns)
 
         # the "edit" (untimed ingestion): upsert turn 1 of K conversations
@@ -70,6 +77,7 @@ def main() -> int:
 
         out = {
             "convs": args.convs,
+            "buckets": args.buckets,
             "changed": args.changed,
             "full_seconds": round(full["seconds"], 2),
             "full_triples": full["triples"],

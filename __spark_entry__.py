@@ -441,6 +441,14 @@ def q_ann_topk_lsh(spark, sf_dir):
     return simsearch.topk_lsh(emb, list(qvec), k=10)
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN (cell assign -> probe nearest cells ->
+    exact rescore); approximate by design, pytest-verified recall."""
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return simsearch.topk_ivf(emb, list(qvec), k=10)
+
+
 def q_doc_minhash_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
@@ -537,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_near_dup": q_emb_near_dup,

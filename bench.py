@@ -79,6 +79,10 @@ def main() -> int:
         qvec = list(row[0])
         timed("ann_topk_bruteforce", lambda: simsearch.topk_bruteforce(emb, qvec, 10).count())
         timed("ann_topk_lsh", lambda: simsearch.topk_lsh(emb, qvec, 10).count())
+        timed(
+            "emb_near_dup",
+            lambda: simsearch.cosine_near_dup_pairs(emb, threshold=0.9).count(),
+        )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -111,6 +111,64 @@ def topk_lsh(
     )
 
 
+def _cell_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id per vector — one Arrow-batched argmax per batch."""
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        M = np.array(list(vecs), dtype=np.float64)
+        if M.size == 0:
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series((M @ C.T).argmax(axis=1).astype(np.int32))
+
+    return assign(vec)
+
+
+def make_centroids(dim: int, n_centroids: int = 16, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-centroids (seeded gaussian). Dataset-independent
+    — avoids a k-means training pass; on a real deployment you'd train the
+    coarse quantizer on a sample and broadcast it, the query shape is
+    identical."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_centroids, dim)).tolist()
+
+
+def topk_ivf(
+    vectors: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_centroids: int = 16, n_probe: int = 4, seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest coarse
+    centroid (map-side vectorized argmax — no shuffle), probe only the
+    n_probe centroids nearest the query, exact-rescore the probed cells.
+
+    The scale path when one LSH signature is too coarse: candidate count is
+    ~ n_probe/n_centroids of the corpus, tunable independently of dim. At
+    deployment the cell id doubles as the table's partition key so a probe
+    is a partition-pruned scan.
+    """
+    dim = len(query_vec)
+    cents = make_centroids(dim, n_centroids, seed)
+    C = np.asarray(cents, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    probe = [int(i) for i in (C @ q).argsort()[::-1][:n_probe]]
+    cand = vectors.withColumn("_cell", _cell_assign(F.col(vec_col), cents)).filter(
+        F.col("_cell").isin(probe)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(F.col(id_col), cosine_sim(F.col(vec_col), qlit).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("sim", 4).alias("sim"))
+    )
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",

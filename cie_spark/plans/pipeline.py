@@ -53,6 +53,8 @@ def _now() -> datetime:
 
 
 class KGPipeline:
+    _pending_links: DataFrame | None = None
+
     def __init__(
         self,
         spark: SparkSession,
@@ -193,6 +195,11 @@ class KGPipeline:
 
         distinct = surfaces.dropDuplicates(["surface"])
         stored = self.links.read()
+        # _pending_links: the updated dictionary, committed only AFTER the
+        # entities merge (see run() step 6) — so a crash in between leaves
+        # the dictionary un-advanced and the next run re-links + re-merges
+        # (the skip-entities-when-no-new-surfaces shortcut stays crash-safe)
+        self._pending_links: DataFrame | None = None
         if stored is not None:
             missing = distinct.join(
                 stored.select("surface"), on="surface", how="left_anti"
@@ -201,14 +208,13 @@ class KGPipeline:
                 return stored.join(distinct, on="surface", how="left_semi")
             fresh = link.link_surfaces(self.spark, missing)
             merged = canon.canonicalize_linkmap(stored.unionByName(fresh))
-            self.links.overwrite(merged)
         else:
-            self.links.overwrite(
-                canon.canonicalize_linkmap(
-                    link.link_surfaces(self.spark, distinct)
-                )
+            merged = canon.canonicalize_linkmap(
+                link.link_surfaces(self.spark, distinct)
             )
-        return self.links.read().join(distinct, on="surface", how="left_semi")
+        merged = merged.localCheckpoint(eager=True)  # vocabulary-bounded
+        self._pending_links = merged
+        return merged.join(distinct, on="surface", how="left_semi")
 
     # -- incremental source (Iceberg changelog analog) ----------------------
 
@@ -257,9 +263,24 @@ class KGPipeline:
                 out = {"run_id": None, "rows_in": 0, "triples": 0,
                        "seconds": 0.0, "skipped": True}
             else:
-                convs = delta_rows.select("conv_id").dropDuplicates(["conv_id"])
-                scoped = turns.read_matching(convs, ["conv_id"])
-                out = self.run(scoped, **kw)
+                # a bucket-granular upsert CARRIES unchanged bucket-mates into
+                # the new fileset, so the raw diff over-approximates the delta
+                # (potentially a whole-bucket read at 100-TB scale). Hash the
+                # diff rows against the processed checkpoint FIRST: carried
+                # conversations hash equal and drop out; genuinely changed or
+                # partially-appended conversations mismatch and stay. Only
+                # those convs are then read back in full.
+                changed = (
+                    self.delta_convs(delta_rows)
+                    .select("conv_id")
+                    .localCheckpoint(eager=True)
+                )
+                if changed.isEmpty():
+                    out = {"run_id": None, "rows_in": 0, "triples": 0,
+                           "seconds": 0.0, "skipped": True}
+                else:
+                    scoped = turns.read_matching(changed, ["conv_id"])
+                    out = self.run(scoped, **kw)
         self._set_source_snapshot(cur)
         return out
 
@@ -330,7 +351,11 @@ class KGPipeline:
         started = _now()
         ents = mentions.filter(F.col("kind") == "entity")
         linkmap = self._link_with_dictionary(ents.select("surface")).cache()
-        n_surfaces = linkmap.count()
+        # count only when the dictionary advanced (new surfaces): on the
+        # pure-reuse path the count is observability-only and not worth a
+        # driver-serialized job — the broadcast build below materializes
+        # the linkmap anyway
+        n_surfaces = linkmap.count() if self._pending_links is not None else None
         linked_ents = ents.join(
             F.broadcast(linkmap.select("surface", "entity_id", "link_tier")),
             on="surface", how="left",
@@ -340,8 +365,30 @@ class KGPipeline:
             F.concat(F.lit("tool:"), link.CF.norm_col("surface")).alias("entity_id"),
             F.lit("dict").alias("link_tier"),
         )
-        linked = linked_ents.select(*tool_rows.columns).unionByName(tool_rows).cache()
-        n_linked = linked.count()
+        from pyspark.sql import Observation
+
+        # linked-row count rides the triples action below via an Observation
+        # (linking is row-preserving, so one fewer driver-serialized job —
+        # each saved job is fixed latency that would cap scaling efficiency)
+        linked_obs = Observation("linked_rows")
+        linked = (
+            linked_ents.select(*tool_rows.columns)
+            .unionByName(tool_rows)
+            .observe(linked_obs, F.count(F.lit(1)).alias("rows"))
+            .cache()
+        )
+        link_finished = _now()
+
+        # 5. triples + data-quality observation (same action as the count —
+        # the Observation rides the count job for free; fail-on-violation
+        # matches the reference's ValidateEntities step, datalog.go:62-175)
+        trips_started = _now()
+        trips_checked, dq_obs = validate.validate_triples(
+            triples.all_triples(linked, scoped)
+        )
+        trips = trips_checked.cache()
+        n_triples = trips.count()
+        n_linked = int(linked_obs.get["rows"])
         n_mentions = n_linked  # linking is row-preserving
         lineage_rows.append(
             dict(stage="extract", rows_in=rows_in, rows_out=n_mentions,
@@ -349,19 +396,13 @@ class KGPipeline:
         )
         lineage_rows.append(
             dict(stage="link+canon", rows_in=n_mentions, rows_out=n_linked,
-                 partition_key=f"surfaces={n_surfaces}",
-                 started=started, finished=_now())
+                 partition_key=(
+                     f"surfaces={n_surfaces}" if n_surfaces is not None
+                     else "surfaces=reused"
+                 ),
+                 started=started, finished=link_finished)
         )
-
-        # 5. triples + data-quality observation (same action as the count —
-        # the Observation rides the count job for free; fail-on-violation
-        # matches the reference's ValidateEntities step, datalog.go:62-175)
-        started = _now()
-        trips_checked, dq_obs = validate.validate_triples(
-            triples.all_triples(linked, scoped)
-        )
-        trips = trips_checked.cache()
-        n_triples = trips.count()
+        started = trips_started
         dq = dq_obs.get
         n_violations = sum(v for k, v in dq.items() if k != "rows" and v)
         lineage_rows.append(
@@ -410,10 +451,19 @@ class KGPipeline:
         )
         # WHEN MATCHED: union the accumulated surface forms instead of
         # replacing them — an incremental touch must not shrink an entity's
-        # alias set to just the surfaces seen in this delta
-        self.entities.merge(
-            ent_df, keys=["entity_id"], resolve=_merge_entity_surfaces
-        )
+        # alias set to just the surfaces seen in this delta. When the run
+        # linked NO new surfaces, every (entity_id <- surface) pair was
+        # already merged by the run that committed the dictionary, so the
+        # merge is a provable no-op and is skipped (saves one bucket rewrite
+        # per incremental run). Crash-safe because the dictionary commit
+        # below happens only after this merge.
+        if self._pending_links is not None or not self.entities.exists():
+            self.entities.merge(
+                ent_df, keys=["entity_id"], resolve=_merge_entity_surfaces
+            )
+        if self._pending_links is not None:
+            self.links.overwrite(self._pending_links)
+            self._pending_links = None
         lineage_rows.append(
             dict(stage="materialize", rows_in=n_triples, rows_out=n_triples,
                  started=started, finished=_now(), snapshot_id=snap_id)

@@ -181,7 +181,8 @@ class SnapshotTable:
         return fs
 
     def _write_bucketed(
-        self, df: DataFrame, partition_by: list[str] | None
+        self, df: DataFrame, partition_by: list[str] | None,
+        n_tasks: int | None = None,
     ) -> tuple[str, dict[int, list[str]]]:
         """Write a fileset partitioned by _bucket (then partition_by).
 
@@ -194,7 +195,7 @@ class SnapshotTable:
         fs = "fs-" + uuid.uuid4().hex[:12]
         path = os.path.join(self.root, "data", fs)
         dfb = df.withColumn("_bucket", self._bucket_col()).repartition(
-            self.n_buckets, "_bucket"
+            min(n_tasks, self.n_buckets) if n_tasks else self.n_buckets, "_bucket"
         )
         w = dfb.write.mode("overwrite").partitionBy("_bucket", *(partition_by or []))
         w.parquet(path)
@@ -360,7 +361,9 @@ class SnapshotTable:
             else:
                 merged = resolve(None, df) if resolve is not None else df
             part = self._effective_partition_by(cur_snap, partition_by)
-            fs, new_buckets = self._write_bucketed(merged, part)
+            fs, new_buckets = self._write_bucketed(
+                merged, part, n_tasks=max(2 * len(aff), 8)
+            )
             new_bmap = {b: p for b, p in bmap.items() if b not in aff}
             new_bmap.update(new_buckets)
             return self._commit(
@@ -407,7 +410,9 @@ class SnapshotTable:
             remaining = cur.join(
                 match_df.dropDuplicates(keys), on=keys, how="left_anti"
             )
-            fs, new_buckets = self._write_bucketed(remaining, part)
+            fs, new_buckets = self._write_bucketed(
+                remaining, part, n_tasks=max(2 * len(touched), 8)
+            )
             new_bmap = {b: p for b, p in bmap.items() if b not in aff}
             new_bmap.update(new_buckets)
             return self._commit(

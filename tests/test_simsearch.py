@@ -51,6 +51,26 @@ def test_near_dup_pairs_threshold(spark, emb):
         assert r.id_a < r.id_b
 
 
+def test_ivf_topk(spark, emb):
+    """IVF probe path: exact sims on the probed cells only; the query's own
+    vector shares its cell by construction, so it always ranks first; probing
+    ALL cells reproduces brute force exactly."""
+    qvec = list(emb.filter("vec_id = 0").first()["embedding"])
+    got = simsearch.topk_ivf(emb, qvec, k=10, n_centroids=8, n_probe=2).collect()
+    assert got and got[0].vec_id == 0
+    exact = {r.vec_id: r.sim for r in simsearch.topk_bruteforce(emb, qvec, k=1000).collect()}
+    for r in got:  # precision 1.0: every returned sim is the true sim
+        assert abs(exact[r.vec_id] - r.sim) < 1e-6
+    full_probe = [
+        r.vec_id
+        for r in simsearch.topk_ivf(
+            emb, qvec, k=10, n_centroids=8, n_probe=8
+        ).collect()
+    ]
+    brute = [r.vec_id for r in simsearch.topk_bruteforce(emb, qvec, k=10).collect()]
+    assert full_probe == brute
+
+
 def test_near_dup_banded_recall_on_planted_pairs(spark):
     """Plant known near-duplicate vectors (tiny perturbations of shared
     bases) among random noise: the banded candidate join must recover >= 90%

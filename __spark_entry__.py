@@ -421,6 +421,34 @@ def q_kg_truncated_turns(spark, sf_dir):
     )
 
 
+def q_kg_find_entity(spark, sf_dir):
+    """Q5 find_function analog: exact-or-suffix name lookup over the entity
+    id space (alias-aware via the link map)."""
+    linked, _ = _linked(spark, sf_dir)
+    ids = linked.select("entity_id").distinct()
+    low = "spark"
+    return ids.filter(
+        (F.regexp_replace("entity_id", "^(ent:|tool:)", "") == low)
+        | F.col("entity_id").rlike(f"(?i)[-:]{low}$")
+    ).select("entity_id")
+
+
+def q_kg_conv_summary(spark, sf_dir):
+    """Q15 get_file_summary analog: per-pred counts + distinct objects for
+    one conversation."""
+    linked, t = _linked(spark, sf_dir)
+    tr = triples.all_triples(linked, t)
+    return (
+        tr.filter(F.col("conv_id") == "conv-000000")
+        .groupBy("pred")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("obj").alias("n_objects"),
+            F.min("turn_idx").alias("first_turn"),
+        )
+    )
+
+
 def q_kg_grep_context(spark, sf_dir):
     """Q18 grep with ±1 context turns via lag/lead windows (no self-join)."""
     from cie_spark.operators.graph_queries import GraphQueries
@@ -538,6 +566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_get_code": q_kg_get_code,
         "kg_truncated_turns": q_kg_truncated_turns,
         "kg_grep_context": q_kg_grep_context,
+        "kg_find_entity": q_kg_find_entity,
+        "kg_conv_summary": q_kg_conv_summary,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -856,6 +886,21 @@ JOIN transcripts t ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx
 WHERE hx.has_exact = 0 OR m.match_kind = 'exact'
 ORDER BY m.conv_id, m.turn_idx, m.canonical_name
 LIMIT 20""",
+        "kg_find_entity": f"""{_KG_CTES}, ids AS (
+  SELECT DISTINCT entity_id FROM linked
+  UNION SELECT DISTINCT obj AS entity_id FROM calls
+)
+SELECT entity_id FROM ids
+WHERE regexp_replace(entity_id, '^(ent:|tool:)', '') = 'spark'
+   OR regexp_matches(entity_id, '(?i)[-:]spark$')""",
+        "kg_conv_summary": f"""{_KG_CTES}, allt AS (
+  SELECT pred, obj, conv_id, turn_idx FROM calls
+  UNION ALL SELECT pred, obj, conv_id, turn_idx FROM contains_t
+  UNION ALL SELECT pred, obj, conv_id, turn_idx FROM mw
+)
+SELECT pred, count(*) AS n, count(DISTINCT obj) AS n_objects,
+       CAST(min(turn_idx) AS INT) AS first_turn
+FROM allt WHERE conv_id = 'conv-000000' GROUP BY pred""",
         "kg_truncated_turns": f"""{_KG_CTES}
 SELECT conv_id, turn_idx, substr(text, 1, 45) AS code_text,
   CAST(CASE WHEN length(coalesce(text, '')) > 45 THEN 1 ELSE 0 END AS INT) AS truncated

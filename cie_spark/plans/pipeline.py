@@ -207,12 +207,15 @@ class KGPipeline:
             if missing.isEmpty():
                 return stored.join(distinct, on="surface", how="left_semi")
             fresh = link.link_surfaces(self.spark, missing)
-            merged = canon.canonicalize_linkmap(stored.unionByName(fresh))
+            raw = stored.unionByName(fresh)
         else:
-            merged = canon.canonicalize_linkmap(
-                link.link_surfaces(self.spark, distinct)
-            )
-        merged = merged.localCheckpoint(eager=True)  # vocabulary-bounded
+            raw = link.link_surfaces(self.spark, distinct)
+        merged = canon.canonicalize_linkmap(raw)
+        if merged is not raw:
+            # alias chains existed: checkpoint the closed map (link_surfaces
+            # output is already checkpointed, so the common no-chain path
+            # skips this extra materialization job)
+            merged = merged.localCheckpoint(eager=True)
         self._pending_links = merged
         return merged.join(distinct, on="surface", how="left_semi")
 
@@ -420,11 +423,6 @@ class KGPipeline:
         # into ONE bucket-granular rewrite (anti-join, never a collected
         # IN-list — driver-safe at 10^6 changed conversations)
         started = _now()
-        snap_id = self.triples.merge(
-            trips, keys=["subj", "pred", "obj", "conv_id", "turn_idx"],
-            purge=delta.select("conv_id"), purge_keys=["conv_id"],
-            purge_covers=True,  # every emitted triple belongs to a delta conv
-        )
         from cie_spark.functions import mock_embedding
 
         ent_df = (
@@ -449,21 +447,43 @@ class KGPipeline:
                 ).alias("embedding"),
             )
         )
-        # WHEN MATCHED: union the accumulated surface forms instead of
-        # replacing them — an incremental touch must not shrink an entity's
-        # alias set to just the surfaces seen in this delta. When the run
-        # linked NO new surfaces, every (entity_id <- surface) pair was
-        # already merged by the run that committed the dictionary, so the
-        # merge is a provable no-op and is skipped (saves one bucket rewrite
-        # per incremental run). Crash-safe because the dictionary commit
-        # below happens only after this merge.
-        if self._pending_links is not None or not self.entities.exists():
-            self.entities.merge(
-                ent_df, keys=["entity_id"], resolve=_merge_entity_surfaces
+        # Edge and vertex commits are independent idempotent merges into
+        # separate tables; run them from two threads so their driver-side
+        # job rounds overlap (serial commit latency is exactly what caps the
+        # N->4N scaling efficiency — the checkpoint commit stays strictly
+        # after both, preserving crash-consistency).
+        #
+        # Entities WHEN MATCHED: union the accumulated surface forms instead
+        # of replacing them — an incremental touch must not shrink an
+        # entity's alias set to just the surfaces seen in this delta. When
+        # the run linked NO new surfaces, every (entity_id <- surface) pair
+        # was already merged by the run that committed the dictionary, so
+        # the merge is a provable no-op and is skipped (saves one bucket
+        # rewrite per incremental run). Crash-safe because the dictionary
+        # commit happens only after the entities merge.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _commit_edges() -> str:
+            return self.triples.merge(
+                trips, keys=["subj", "pred", "obj", "conv_id", "turn_idx"],
+                purge=delta.select("conv_id"), purge_keys=["conv_id"],
+                purge_covers=True,  # every emitted triple belongs to a delta conv
             )
-        if self._pending_links is not None:
-            self.links.overwrite(self._pending_links)
-            self._pending_links = None
+
+        def _commit_vertices() -> None:
+            if self._pending_links is not None or not self.entities.exists():
+                self.entities.merge(
+                    ent_df, keys=["entity_id"], resolve=_merge_entity_surfaces
+                )
+            if self._pending_links is not None:
+                self.links.overwrite(self._pending_links)
+                self._pending_links = None
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            edges_fut = pool.submit(_commit_edges)
+            verts_fut = pool.submit(_commit_vertices)
+            snap_id = edges_fut.result()
+            verts_fut.result()
         lineage_rows.append(
             dict(stage="materialize", rows_in=n_triples, rows_out=n_triples,
                  started=started, finished=_now(), snapshot_id=snap_id)

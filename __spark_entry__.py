@@ -489,6 +489,29 @@ def q_emb_near_dup(spark, sf_dir):
     return simsearch.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.9)
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal decode + feature extraction over a deterministic media
+    table with REAL encoded payloads (BMP/WAV/CBMV, numpy codecs) —
+    rows-only (no SQL-expressible oracle for binary codecs); codec round
+    trips are pinned in tests/test_multimodal_codecs.py."""
+    from cie_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(spark, n=64)
+    return multimodal.extract_features(media).select(
+        "media_id", "kind", "n_bytes", "digest"
+    )
+
+
+def q_media_frame_sample(spark, sf_dir):
+    """Video frame sampling via real container walking (rows-only)."""
+    from cie_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(spark, n=64)
+    return multimodal.sample_frames(media, every_ms=200).select(
+        "media_id", "frame_ms"
+    )
+
+
 def q_kg_full_pipeline(spark, sf_dir):
     linked, t = _linked(spark, sf_dir)
     return triples.all_triples(linked, t)
@@ -576,6 +599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "media_features": q_media_features,
+        "media_frame_sample": q_media_frame_sample,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_near_dup": q_emb_near_dup,

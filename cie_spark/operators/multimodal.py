@@ -1,20 +1,28 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing — schemas, partition-preserving mapInPandas batch
-transforms, Arrow binary transfer — is real and tested; the actual codec
-calls (image decode/resize, audio resample, video frame sampling) are
-STUBBED behind deterministic fakes because the media libraries are not in
-this container. Swap `_fake_decode_*` for PIL/libav calls in production —
-the dataflow does not change.
+Round 2: the codec layer is REAL for formats decodable with pure numpy —
+BMP images (24-bpp, the standard uncompressed format), WAV/PCM audio, and a
+concatenated-BMP video container — so decode / feature-extract / resize /
+frame-sample do actual pixel/sample math end-to-end. Formats that need
+external libraries (jpeg/png/opus/h264) raise NotImplementedError from the
+same dispatch point: swapping in PIL/libav changes ONE function table, not
+the dataflow. All operators are Arrow-batched mapInPandas transforms that
+preserve partitioning (no shuffle) — at 100 TB they run inside the scan
+stage.
 
 Schema convention:
     media(media_id: long, kind: string, payload: binary,
           meta: struct<width:int, height:int, duration_ms:int, codec:string>)
+
+Analog: the reference has no media path; this is the training-data-pipeline
+extension required by the round brief (binary columns + typed metadata +
+batch codec UDFs).
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -43,11 +51,181 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-FEATURES_DDL = "media_id long, kind string, n_bytes int, digest string, feature array<float>"
+FEATURES_DDL = (
+    "media_id long, kind string, n_bytes int, digest string, feature array<float>"
+)
+
+
+# ---------------------------------------------------------------------------
+# real numpy codecs (no external libraries)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a 24-bpp bottom-up BMP."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    stride = row_bytes + pad
+    data_size = stride * h
+    # pixel array: bottom-up rows, BGR order, zero row padding
+    bgr = img[::-1, :, ::-1]
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    return header + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24-bpp uncompressed BMP into an (H, W, 3) uint8 RGB array."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP variant bpp={bpp} compression={comp}")
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * abs(h), offset=offset)
+    rows = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+    img = rows[::-1] if h > 0 else rows  # bottom-up unless height negative
+    return img[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize via integer index maps (pure numpy)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode mono int16 samples as a PCM WAV."""
+    assert samples.dtype == np.int16
+    data = samples.tobytes()
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+        )
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a mono 16-bit PCM WAV into (int16 samples, sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", payload, 20)
+    if fmt != 1 or ch != 1 or bits != 16:
+        raise NotImplementedError(f"WAV variant fmt={fmt} ch={ch} bits={bits}")
+    data_size = struct.unpack_from("<I", payload, 40)[0]
+    samples = np.frombuffer(payload, dtype=np.int16, count=data_size // 2, offset=44)
+    return samples, rate
+
+
+# "cbmv": concatenated-BMP video — 8-byte header (magic, n_frames, frame_ms)
+# then n_frames length-prefixed BMP frames. A deterministic stand-in for a
+# real container; frame EXTRACTION is exact byte math, like an mp4 atom walk.
+_CBMV_MAGIC = b"CBMV"
+
+
+def encode_cbmv(frames: list[np.ndarray], frame_ms: int = 100) -> bytes:
+    parts = [struct.pack("<4sHH", _CBMV_MAGIC, len(frames), frame_ms)]
+    for f in frames:
+        b = encode_bmp(f)
+        parts.append(struct.pack("<I", len(b)))
+        parts.append(b)
+    return b"".join(parts)
+
+
+def cbmv_frames(payload: bytes) -> Iterator[tuple[int, bytes]]:
+    """Yield (t_ms, bmp_bytes) per frame — pure offset walking, no decode."""
+    if payload[:4] != _CBMV_MAGIC:
+        raise ValueError("not a CBMV payload")
+    n, frame_ms = struct.unpack_from("<HH", payload, 4)
+    off = 8
+    for i in range(n):
+        (ln,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        yield i * frame_ms, payload[off : off + ln]
+        off += ln
+
+
+# ---------------------------------------------------------------------------
+# feature extraction (decode dispatch by codec)
+# ---------------------------------------------------------------------------
+
+
+def _image_feature(img: np.ndarray, grid: int = 3) -> list[float]:
+    """Real pixel features: per-channel mean/std + grid×grid intensity map."""
+    f = [float(x) for x in img.mean(axis=(0, 1)) / 255.0]
+    f += [float(x) for x in img.std(axis=(0, 1)) / 255.0]
+    small = resize_nearest(img.mean(axis=2), grid, grid) / 255.0
+    f += [float(x) for x in small.ravel()]
+    # = 3 + 3 + grid*grid  (15 for grid=3), padded to 16 below
+    return f
+
+
+def _audio_feature(samples: np.ndarray, rate: int, bands: int = 12) -> list[float]:
+    """Real sample features: RMS, zero-crossing rate, band energies."""
+    x = samples.astype(np.float64) / 32768.0
+    if len(x) == 0:
+        return [0.0] * (2 + bands)
+    rms = float(np.sqrt(np.mean(x * x)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+    spec = np.abs(np.fft.rfft(x))
+    chunks = np.array_split(spec, bands)
+    total = spec.sum() or 1.0
+    return [rms, zcr] + [float(c.sum() / total) for c in chunks]
+
+
+def decode_feature(payload: bytes, kind: str, codec: str | None, dim: int = 16) -> list[float]:
+    """Decode + featurize one payload. REAL math for bmp/wav/cbmv; declared
+    NotImplementedError for codecs needing external libraries (the swap-in
+    point for PIL / libav in production)."""
+    if payload is None:
+        raise NotImplementedError("real decoder required for NULL-payload media")
+    if codec == "bmp":
+        f = _image_feature(decode_bmp(payload))
+    elif codec == "wav":
+        f = _audio_feature(*decode_wav(payload))
+    elif codec == "cbmv":
+        # first-frame features + frame count (cheap video summary)
+        frames = list(cbmv_frames(payload))
+        f = _image_feature(decode_bmp(frames[0][1])) + [min(1.0, len(frames) / 256.0)]
+    elif codec in ("png", "jpeg", "opus", "h264"):
+        raise NotImplementedError(
+            f"codec {codec!r} needs an external library (PIL/libav) — "
+            "not available in this container"
+        )
+    else:
+        # unknown codec: content-hash fallback so the pipeline can still
+        # dedup/track the asset without decoding it
+        h = hashlib.sha256(payload).digest()
+        arr = np.frombuffer(h[: dim * 2], dtype=np.uint16).astype(np.float32)
+        f = (arr / 65535.0).tolist()
+    f = f[:dim] + [0.0] * max(0, dim - len(f))
+    return [float(x) for x in f]
+
+
+# ---------------------------------------------------------------------------
+# synthetic media table (real encoded payloads)
+# ---------------------------------------------------------------------------
 
 
 def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes) for tests."""
+    """Deterministic media table with REAL encoded payloads: BMP images,
+    PCM WAVs, CBMV videos (seeded content)."""
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
         for pdf in batches:
@@ -56,45 +234,50 @@ def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFr
                 i = int(i)
                 rng = np.random.default_rng(seed + i)
                 kind = kinds[i % 3]
-                payload = rng.integers(0, 256, size=256 + (i % 512), dtype=np.uint8).tobytes()
-                rows.append(
-                    {
-                        "media_id": i,
-                        "kind": kind,
-                        "payload": payload,
-                        "meta": {
-                            "width": 64 + (i % 8) * 32 if kind == "image" else None,
-                            "height": 64 + (i % 5) * 32 if kind == "image" else None,
-                            "duration_ms": (i % 30) * 1000 if kind != "image" else None,
-                            "codec": {"image": "png", "audio": "opus", "video": "h264"}[kind],
-                        },
+                if kind == "image":
+                    w, h = 16 + (i % 4) * 8, 12 + (i % 3) * 8
+                    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                    payload, codec = encode_bmp(img), "bmp"
+                    meta = {"width": w, "height": h, "duration_ms": None, "codec": codec}
+                elif kind == "audio":
+                    n_samp = 1600 + (i % 5) * 800  # 0.1-0.35 s at 16 kHz
+                    samples = (
+                        np.sin(np.arange(n_samp) * (0.02 + 0.01 * (i % 7))) * 12000
+                    ).astype(np.int16)
+                    payload, codec = encode_wav(samples), "wav"
+                    meta = {
+                        "width": None, "height": None,
+                        "duration_ms": int(n_samp * 1000 / 16000), "codec": codec,
                     }
+                else:
+                    n_frames = 3 + i % 4
+                    frames = [
+                        rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+                        for _ in range(n_frames)
+                    ]
+                    payload, codec = encode_cbmv(frames, frame_ms=100), "cbmv"
+                    meta = {
+                        "width": 8, "height": 8,
+                        "duration_ms": n_frames * 100, "codec": codec,
+                    }
+                rows.append(
+                    {"media_id": i, "kind": kind, "payload": payload, "meta": meta}
                 )
             yield pd.DataFrame(rows)
 
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def _fake_decode_feature(payload: bytes, kind: str, dim: int = 16) -> list[float]:
-    """STUB for the real decode + feature-extraction step.
-
-    Production would decode the payload (PIL / torchaudio / pyav) and run a
-    feature extractor; this deterministic fake hashes payload windows so the
-    plumbing (batching, schema, downstream joins) is fully exercised.
-    """
-    if payload is None:
-        raise NotImplementedError("real decoder required for NULL-payload media")
-    h = hashlib.sha256(payload).digest()
-    arr = np.frombuffer(h[: dim * 2], dtype=np.uint16).astype(np.float32)
-    return (arr / 65535.0).tolist()
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
 
 
 def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     """media -> (media_id, kind, n_bytes, digest, feature) via mapInPandas.
 
-    Arrow-batched binary transfer; one Python call per batch, numpy inside.
-    Partitioning is preserved (no shuffle) — at 100 TB this runs entirely
-    inside the scan stage.
+    Arrow-batched binary transfer; one Python call per batch. Partitioning
+    is preserved (no shuffle) — at 100 TB this runs inside the scan stage.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -102,48 +285,91 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
             out = {
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
-                "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0).astype("int32"),
+                "n_bytes": pdf["payload"].map(
+                    lambda b: len(b) if b is not None else 0
+                ).astype("int32"),
                 "digest": pdf["payload"].map(
                     lambda b: hashlib.sha256(b).hexdigest() if b is not None else ""
                 ),
                 "feature": [
-                    _fake_decode_feature(b, k, dim) if b is not None else None
-                    for b, k in zip(pdf["payload"], pdf["kind"])
+                    decode_feature(b, k, c, dim) if b is not None else None
+                    for b, k, c in zip(
+                        pdf["payload"], pdf["kind"], pdf["codec"]
+                    )
                 ],
             }
             yield pd.DataFrame(out)
 
-    return media.select("media_id", "kind", "payload").mapInPandas(op, FEATURES_DDL)
+    return media.select(
+        "media_id", "kind", "payload", F.col("meta.codec").alias("codec")
+    ).mapInPandas(op, FEATURES_DDL)
 
 
 def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Image-resize plumbing: filters to images, rewrites meta, stubs the
-    pixel work (payload passthrough; a real impl re-encodes)."""
-    imgs = media.filter(F.col("kind") == "image")
-    return imgs.withColumn(
-        "meta",
-        F.struct(
-            F.lit(width).alias("width"),
-            F.lit(height).alias("height"),
-            F.col("meta.duration_ms").alias("duration_ms"),
-            F.col("meta.codec").alias("codec"),
-        ),
+    """REAL image resize for BMP payloads: decode -> nearest-neighbor resize
+    -> re-encode, meta rewritten to the new dimensions. Non-BMP codecs pass
+    through with a `resized=false` flag (the PIL swap-in point)."""
+
+    # NB: StructType.add mutates in place — build a fresh schema
+    out_schema = T.StructType(
+        list(MEDIA_SCHEMA.fields) + [T.StructField("resized", T.BooleanType(), False)]
     )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas, resized = [], [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                meta = dict(meta)
+                if payload is not None and meta.get("codec") == "bmp":
+                    img = resize_nearest(decode_bmp(payload), width, height)
+                    payloads.append(encode_bmp(img))
+                    meta["width"], meta["height"] = width, height
+                    resized.append(True)
+                else:
+                    payloads.append(payload)
+                    resized.append(False)
+                metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                    "resized": resized,
+                }
+            )
+
+    imgs = media.filter(F.col("kind") == "image")
+    return imgs.mapInPandas(op, out_schema)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling plumbing: explodes one row per sampled frame
-    timestamp from metadata (decode stubbed)."""
-    vids = media.filter(F.col("kind") == "video").filter(
-        F.col("meta.duration_ms").isNotNull()
-    )
-    return vids.select(
-        "media_id",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
-                F.lit(every_ms),
+    """Video frame sampling. CBMV payloads yield REAL frame bytes (exact
+    container walking); other containers yield timestamps from metadata only
+    (the libav swap-in point)."""
+
+    ddl = "media_id long, frame_ms int, frame_payload binary"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, times, blobs = [], [], []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                meta = dict(meta) if meta is not None else {}
+                if payload is not None and meta.get("codec") == "cbmv":
+                    next_t = 0
+                    for t_ms, frame in cbmv_frames(payload):
+                        if t_ms >= next_t:
+                            ids.append(mid); times.append(t_ms); blobs.append(frame)
+                            next_t += every_ms
+                else:
+                    dur = meta.get("duration_ms") or 0
+                    for t in range(0, max(dur, 1), every_ms):
+                        ids.append(mid); times.append(t); blobs.append(None)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_ms": times, "frame_payload": blobs}
             )
-        ).alias("frame_ms"),
-    )
+
+    vids = media.filter(F.col("kind") == "video")
+    return vids.select("media_id", "payload", "meta").mapInPandas(op, ddl)

@@ -1,0 +1,183 @@
+"""`cie`-style CLI over the warehouse: the reference's user surface
+(cmd/cie: `cie index`, `cie query`, `cie watch`, MCP tools
+cmd/cie/mcp.go:578-1234) re-expressed as subcommands over the snapshot
+warehouse. A reference user maps 1:1:
+
+    cie index  -> python -m cie_spark.cli index --events ... --warehouse W
+    cie watch  -> python -m cie_spark.cli watch --transcripts DIR --warehouse W
+    MCP tool X -> python -m cie_spark.cli query X [args] --warehouse W
+    cie query  -> python -m cie_spark.cli sql "SELECT ..." --warehouse W
+                  (tables: triples, entities, lineage, processed_convs)
+
+Query output is JSON-lines on stdout (one row per line) — pipeable, like
+the reference's tool responses.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _queries(spark, warehouse, need_transcripts: str | None):
+    from cie_spark.operators.graph_queries import GraphQueries
+    from cie_spark.plans.pipeline import KGPipeline
+
+    pipe = KGPipeline(spark, warehouse)
+    triples = pipe.triples.read()
+    if triples is None:
+        raise SystemExit(f"no indexed triples in warehouse {warehouse!r} — run `index` first")
+    entities = pipe.entities.read()
+    transcripts = None
+    if need_transcripts:
+        transcripts = spark.read.parquet(need_transcripts)
+    return GraphQueries(triples, entities, transcripts), pipe
+
+
+def _emit(df, limit: int | None = None) -> None:
+    rows = df.limit(limit).collect() if limit else df.collect()
+    for r in rows:
+        print(json.dumps(r.asDict(recursive=True), default=str))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="cie_spark", description=__doc__)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--warehouse", required=False)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("index", help="run the construction pipeline (cie index)")
+    p.add_argument("--events")
+    p.add_argument("--transcripts")
+    p.add_argument("--full", action="store_true")
+    p.add_argument("--resume", default="trust_checkpoint",
+                   choices=["trust_checkpoint", "force_reprocess", "fail_fast"])
+
+    p = sub.add_parser("watch", help="streaming incremental reindex (cie watch)")
+    p.add_argument("--transcripts", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--continuous", action="store_true")
+
+    p = sub.add_parser("sql", help="raw SQL over warehouse tables (cie query)")
+    p.add_argument("statement")
+
+    q = sub.add_parser("query", help="run one query tool (MCP tool analog)")
+    q.add_argument("tool", choices=[
+        "index_status", "find_callers", "find_callees", "call_graph",
+        "find_entity", "similar_entities", "semantic_search", "search_text",
+        "grep", "grep_context", "verify_absence", "list_tools",
+        "top_entities_per_conv", "conv_summary", "entity_history",
+        "find_introduction", "blame", "trace_path", "get_code",
+    ])
+    q.add_argument("args", nargs="*", help="positional tool arguments")
+    q.add_argument("--transcripts", help="transcript parquet for text tools")
+    q.add_argument("--limit", type=int, default=100)
+    q.add_argument("--indirect", action="store_true")
+
+    a = ap.parse_args(argv)
+    if not a.warehouse:
+        ap.error("--warehouse is required")
+
+    from pyspark.sql import SparkSession
+
+    from cie_spark.session import get_spark
+
+    # only stop the session if this invocation created it (embedded callers
+    # — tests, notebooks — keep theirs)
+    pre_existing = SparkSession.getActiveSession()
+    spark = get_spark(app="cie_spark_cli", master=a.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if a.cmd == "index":
+            from cie_spark import spec
+            from cie_spark.plans.pipeline import KGPipeline
+
+            if a.events:
+                spark.read.parquet(a.events).createOrReplaceTempView("events")
+                transcripts = spark.sql(spec.TRANSCRIPTS_FROM_EVENTS_SQL)
+            elif a.transcripts:
+                transcripts = spark.read.parquet(a.transcripts)
+            else:
+                raise SystemExit("index needs --events or --transcripts")
+            out = KGPipeline(spark, a.warehouse).run(
+                transcripts, incremental=not a.full, resume=a.resume
+            )
+            print(json.dumps(out))
+            return 0
+
+        if a.cmd == "watch":
+            from cie_spark.streaming.watch import watch
+
+            qh = watch(
+                spark, a.transcripts, a.warehouse,
+                checkpoint_dir=a.checkpoint,
+                available_now=not a.continuous,
+            )
+            qh.awaitTermination()
+            return 0
+
+        if a.cmd == "sql":
+            from cie_spark.plans.pipeline import KGPipeline
+
+            pipe = KGPipeline(spark, a.warehouse)
+            for name, tbl in (
+                ("triples", pipe.triples), ("entities", pipe.entities),
+                ("lineage", pipe.lineage), ("processed_convs", pipe.processed),
+            ):
+                df = tbl.read()
+                if df is not None:
+                    df.createOrReplaceTempView(name)
+            _emit(spark.sql(a.statement))
+            return 0
+
+        # query tools
+        gq, _pipe = _queries(spark, a.warehouse, a.transcripts)
+        t, args = a.tool, a.args
+        if t == "index_status":
+            _emit(gq.index_status())
+        elif t == "find_callers":
+            _emit(gq.find_callers(args[0], include_indirect=a.indirect, limit=a.limit))
+        elif t == "find_callees":
+            _emit(gq.find_callees(args[0], limit=a.limit))
+        elif t == "call_graph":
+            _emit(gq.call_graph(args[0]))
+        elif t == "find_entity":
+            _emit(gq.find_entity(args[0]))
+        elif t == "similar_entities":
+            _emit(gq.similar_entities(args[0], limit=a.limit))
+        elif t == "semantic_search":
+            _emit(gq.semantic_search(" ".join(args), k=a.limit))
+        elif t == "search_text":
+            _emit(gq.search_text(args[0], limit=a.limit))
+        elif t == "grep":
+            _emit(gq.grep(list(args), limit=a.limit))
+        elif t == "grep_context":
+            _emit(gq.grep_context(args[0]), limit=a.limit)
+        elif t == "verify_absence":
+            _emit(gq.verify_absence(list(args)))
+        elif t == "list_tools":
+            _emit(gq.list_tools(), limit=a.limit)
+        elif t == "top_entities_per_conv":
+            _emit(gq.top_entities_per_conv(int(args[0]) if args else 5), limit=a.limit)
+        elif t == "conv_summary":
+            _emit(gq.conv_summary(args[0]))
+        elif t == "entity_history":
+            _emit(gq.entity_history(args[0]), limit=a.limit)
+        elif t == "find_introduction":
+            _emit(gq.find_introduction(), limit=a.limit)
+        elif t == "blame":
+            _emit(gq.blame(args[0]))
+        elif t == "get_code":
+            _emit(gq.get_code(args[0], limit=a.limit))
+        elif t == "trace_path":
+            paths = gq.trace_path(args[0], args[1])
+            print(json.dumps({"paths": paths}))
+        return 0
+    finally:
+        if pre_existing is None:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,90 @@
+"""Physical-plan shape assertions: the `.explain()` discipline as tests.
+
+These pin the plan properties the 100-TB design depends on — a regression
+that silently swaps a broadcast join for a sort-merge (or sneaks in a
+cartesian product) fails here long before it fails at scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cie_spark.operators import dedup, link
+from cie_spark.operators.extract import extract_mentions
+from cie_spark.sources.gen import generate_transcripts
+from cie_spark.sources.io_snapshots import SnapshotTable
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_linking_uses_broadcast_not_shuffle_join(spark):
+    """Tier-1 dictionary linking and the link-map application must be
+    broadcast hash joins: the corpus-sized side must never shuffle on the
+    join key."""
+    t = generate_transcripts(spark, n_convs=6, avg_turns=6, seed=2)
+    linked = link.link_mentions(spark, extract_mentions(t))
+    plan = _physical(linked)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_candidates_never_cartesian(spark):
+    docs = spark.createDataFrame(
+        [(i, f"some shared words plus unique token {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    release: list = []  # lazy form — the public path checkpoints eagerly
+    plan = _physical(dedup.minhash_candidates(docs, _release=release))
+    for f in release:
+        f.unpersist()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the self-join is keyed on the band signature
+    assert "band_sig" in plan
+
+
+def test_text_column_pruned_after_extraction(spark):
+    """Downstream of extraction only mention columns flow — the fat text
+    column must not appear in the aggregate's input."""
+    t = generate_transcripts(spark, n_convs=4, avg_turns=5, seed=3)
+    m = extract_mentions(t).groupBy("surface").count()
+    opt = _optimized(m)
+    # text enters the mapInPandas but is not an output attribute anywhere
+    assert "count" in opt
+    out_attrs = _physical(m)
+    assert "text" not in out_attrs.split("MapInPandas")[0]
+
+
+def test_warehouse_scan_pushes_filters(spark, tmp_path):
+    """A pred-filtered read of the bucketed triples table must reach the
+    parquet scan as a pushed filter (row-group pruning at scale)."""
+    tbl = SnapshotTable(
+        spark, str(tmp_path / "t"), bucket_key="conv_id", n_buckets=4
+    )
+    rows = [(f"s{i}", "calls" if i % 2 else "contains", f"o{i}", f"c{i%3}", i)
+            for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, conv_id string, turn_idx int"
+    )
+    tbl.overwrite(df)
+    q = tbl.read().filter(F.col("pred") == "calls").select("subj")
+    plan = _physical(q)
+    assert "PushedFilters" in plan
+    assert "pred" in plan.split("PushedFilters")[1][:200]
+
+
+def test_ann_lsh_filter_is_mapside(spark):
+    """The LSH candidate filter must not introduce a shuffle: one exchange
+    at most (for the final top-k), no join."""
+    from cie_spark.operators import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = list(emb.first()["embedding"])
+    plan = _physical(simsearch.topk_lsh(emb, qvec, k=5))
+    assert "Join" not in plan

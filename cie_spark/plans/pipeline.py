@@ -423,8 +423,16 @@ class KGPipeline:
         # into ONE bucket-granular rewrite (anti-join, never a collected
         # IN-list — driver-safe at 10^6 changed conversations)
         started = _now()
-        from cie_spark.functions import mock_embedding
+        from cie_spark.functions.embedding_provider import (
+            MockEmbeddingProvider,
+            RetryingProvider,
+            embedding_udf,
+        )
 
+        # A19 provider seam IN USE: swap MockEmbeddingProvider for a real
+        # network provider here — classified retry/backoff and the Arrow
+        # batch dataflow stay identical
+        embed = embedding_udf(RetryingProvider(MockEmbeddingProvider()))
         ent_df = (
             linked.groupBy("entity_id")
             .agg(
@@ -438,11 +446,7 @@ class KGPipeline:
                     "canonical_name"
                 ),
                 "surfaces",
-                # A19 analog: vectorized (deterministic) embedding enrich of
-                # the vertex table — swap the provider via
-                # cie_spark.functions.embedding_provider in production; the
-                # dataflow is identical
-                mock_embedding(
+                embed(
                     F.regexp_replace("entity_id", "^(ent:|tool:)", "")
                 ).alias("embedding"),
             )

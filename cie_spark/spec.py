@@ -158,6 +158,29 @@ def prose_regex() -> re.Pattern[str]:
     return _PROSE_RE
 
 
+# case-SENSITIVE rendering of the same prose pattern for scanning a
+# pre-lowercased string: IGNORECASE disables sre's literal-prefix charset
+# optimization (measured 3.5x slower on batch scans). Semantics are
+# identical when the input is text.lower() and lowercasing preserves length
+# (callers must verify and fall back to prose_regex otherwise — rare
+# non-ASCII codepoints change length under str.lower). Longest-first
+# alternation order is preserved; same-length alternatives are distinct
+# strings and cannot both match at one position, so the tie-break order is
+# irrelevant to match outcomes.
+_PROSE_RE_LOWER = re.compile(
+    r"(?<![a-z0-9])("
+    + "|".join(
+        re.escape(s)
+        for s in sorted({s.lower() for s in PROSE_SURFACES}, key=lambda s: (-len(s), s))
+    )
+    + r")(?![a-z0-9])"
+)
+
+
+def prose_regex_lower() -> re.Pattern[str]:
+    return _PROSE_RE_LOWER
+
+
 def stub_entity_id(norm_surface: str) -> str:
     """Deterministic OOV stub id (analog of resolver.go:509-512)."""
     return "ent:" + hashlib.sha256(norm_surface.encode()).hexdigest()[:16]

@@ -40,14 +40,29 @@ deletes/upserts per source file, this table deletes/upserts per hash bucket
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
+import shutil
 import time
 import uuid
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# retry budget for optimistic-concurrency commits (each retry re-reads HEAD
+# and recomputes the write, so contention converges like Iceberg's CAS loop)
+_COMMIT_RETRIES = 5
+
+# sentinel: commit without a parent check (overwrite semantics)
+_UNCHECKED = "__unchecked__"
+
+
+class CommitConflict(RuntimeError):
+    """HEAD moved between the snapshot read and the commit — another writer
+    won the race; re-read and recompute (embedded.go:36-41,393-410 analog)."""
 
 
 class SnapshotTable:
@@ -100,6 +115,27 @@ class SnapshotTable:
         s = self.current_snapshot()
         return s["snapshot_id"] if s else None
 
+    def _read_snapshot(self, snapshot_id: str) -> dict:
+        with open(
+            os.path.join(self.root, "snapshots", snapshot_id + ".json")
+        ) as f:
+            return json.load(f)
+
+    @contextmanager
+    def _commit_lock(self):
+        """flock on <root>/LOCK — serializes the commit critical section
+        across processes AND threads (each open() gets its own file
+        description, so same-process threads exclude each other too). Held
+        only for the HEAD re-read + manifest write + rename: data files are
+        written before, outside the lock."""
+        fd = os.open(os.path.join(self.root, "LOCK"), os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
     def _commit(
         self,
         filesets: list[str],
@@ -107,8 +143,34 @@ class SnapshotTable:
         summary: dict,
         buckets: dict[int, list[str]] | None = None,
         partition_by: list[str] | None = None,
+        expected_parent: str | None = _UNCHECKED,
+    ) -> str:
+        """Atomic snapshot commit with optional compare-and-swap.
+
+        `expected_parent` (a snapshot id, or None for "table must still be
+        empty") is the snapshot the caller computed its write against. Under
+        the commit lock, HEAD is re-read; if it moved, CommitConflict is
+        raised and the caller's retry loop recomputes from the fresh state —
+        two concurrent writers can no longer silently drop each other's
+        commit (last-rename-wins). The reference guards the same window with
+        an RWMutex + RocksDB LOCK stale-detection (embedded.go:36-41,
+        393-410)."""
+        with self._commit_lock():
+            return self._commit_locked(
+                filesets, op, summary, buckets, partition_by, expected_parent
+            )
+
+    def _commit_locked(
+        self, filesets, op, summary, buckets, partition_by, expected_parent
     ) -> str:
         prev = self.current_snapshot()
+        if expected_parent is not _UNCHECKED:
+            cur_id = prev["snapshot_id"] if prev else None
+            if cur_id != expected_parent:
+                raise CommitConflict(
+                    f"{self.root}: expected parent {expected_parent!r}, "
+                    f"HEAD is {cur_id!r}"
+                )
         seq = (prev["seq"] + 1) if prev else 0
         snap_id = f"{seq:06d}-{uuid.uuid4().hex[:12]}"
         manifest = {
@@ -138,6 +200,14 @@ class SnapshotTable:
     @staticmethod
     def _bucket_map(snap: dict) -> dict[int, list[str]]:
         return {int(k): v for k, v in snap.get("buckets", {}).items()}
+
+    @staticmethod
+    def _referenced_filesets(bmap: dict[int, list[str]], *extra: str) -> list[str]:
+        """Every fileset the bucket map points into (carried + new) — merge
+        commits list ALL of them so 'filesets' always means live references."""
+        refs = {p.split("/", 1)[0] for ps in bmap.values() for p in ps}
+        refs.update(extra)
+        return sorted(refs)
 
     def _effective_partition_by(
         self, snap: dict | None, requested: list[str] | None
@@ -245,9 +315,10 @@ class SnapshotTable:
         if snapshot_id is None:
             snap = self.current_snapshot()
         else:
-            snap = next(
-                (s for s in self.snapshots() if s["snapshot_id"] == snapshot_id), None
-            )
+            try:
+                snap = self._read_snapshot(snapshot_id)
+            except FileNotFoundError:
+                snap = None
         if snap is None:
             return None
         if self.bucket_key is not None and "buckets" in snap:
@@ -270,8 +341,23 @@ class SnapshotTable:
             return None
         return cur.join(match_df.dropDuplicates(keys), on=keys, how="left_semi")
 
+    def _retrying(self, attempt: Callable[[], str]) -> str:
+        """Optimistic-concurrency loop: each attempt reads HEAD, computes and
+        writes its fileset, then CAS-commits; CommitConflict -> recompute."""
+        last: CommitConflict | None = None
+        for _ in range(_COMMIT_RETRIES):
+            try:
+                return attempt()
+            except CommitConflict as e:
+                last = e
+        raise last  # contention beyond the retry budget — surface it
+
     def append(self, df: DataFrame, partition_by: list[str] | None = None) -> str:
+        return self._retrying(lambda: self._append_once(df, partition_by))
+
+    def _append_once(self, df: DataFrame, partition_by: list[str] | None) -> str:
         prev = self.current_snapshot()
+        base = prev["snapshot_id"] if prev else None
         if self.bucket_key is not None:
             part = self._effective_partition_by(prev, partition_by)
             fs, new_buckets = self._write_bucketed(df, part)
@@ -280,21 +366,51 @@ class SnapshotTable:
                 bmap.setdefault(b, []).extend(paths)
             filesets = (prev["filesets"] if prev else []) + [fs]
             return self._commit(
-                filesets, "append", {"added_filesets": 1}, bmap, part or []
+                filesets, "append", {"added_filesets": 1}, bmap, part or [],
+                expected_parent=base,
             )
         fs = self._write_fileset(df, partition_by)
         filesets = (prev["filesets"] if prev else []) + [fs]
-        return self._commit(filesets, "append", {"added_filesets": 1})
+        return self._commit(
+            filesets, "append", {"added_filesets": 1}, expected_parent=base
+        )
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> str:
+        # replace-everything semantics: no parent check — an overwrite wins
+        # over whatever committed in between by definition
+        return self._overwrite_once(df, partition_by, expected_parent=_UNCHECKED)
+
+    def _overwrite_once(
+        self, df: DataFrame, partition_by: list[str] | None,
+        expected_parent: str | None,
+    ) -> str:
         if self.bucket_key is not None:
             part = self._effective_partition_by(self.current_snapshot(), partition_by)
             fs, buckets = self._write_bucketed(df, part)
-            return self._commit([fs], "overwrite", {}, buckets, part or [])
+            return self._commit(
+                [fs], "overwrite", {}, buckets, part or [],
+                expected_parent=expected_parent,
+            )
         fs = self._write_fileset(df, partition_by)
-        return self._commit([fs], "overwrite", {})
+        return self._commit([fs], "overwrite", {}, expected_parent=expected_parent)
 
     def merge(
+        self,
+        df: DataFrame,
+        keys: list[str],
+        partition_by: list[str] | None = None,
+        purge: DataFrame | None = None,
+        purge_keys: list[str] | None = None,
+        resolve: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
+        purge_covers: bool = False,
+    ) -> str:
+        return self._retrying(
+            lambda: self._merge_once(
+                df, keys, partition_by, purge, purge_keys, resolve, purge_covers
+            )
+        )
+
+    def _merge_once(
         self,
         df: DataFrame,
         keys: list[str],
@@ -324,11 +440,12 @@ class SnapshotTable:
         read + rewritten; every other bucket is carried forward untouched.
         """
         cur_snap = self.current_snapshot()
+        base = cur_snap["snapshot_id"] if cur_snap else None
         if self.bucket_key is not None:
             if cur_snap is None or not self._bucket_map(cur_snap):
                 if resolve is not None:
                     df = resolve(None, df)
-                return self.overwrite(df, partition_by)
+                return self._overwrite_once(df, partition_by, expected_parent=base)
             # purge_covers: caller guarantees every incoming key's bucket is
             # also a purge-key bucket (e.g. purge = changed conv_ids and
             # incoming rows all belong to changed convs) — saves one
@@ -367,17 +484,18 @@ class SnapshotTable:
             new_bmap = {b: p for b, p in bmap.items() if b not in aff}
             new_bmap.update(new_buckets)
             return self._commit(
-                [fs], "merge",
+                self._referenced_filesets(new_bmap, fs), "merge",
                 {"keys": keys, "rewritten_buckets": len(aff),
                  "carried_buckets": len(new_bmap) - len(new_buckets)},
                 new_bmap, part or [],
+                expected_parent=base,
             )
         # unbucketed: full-table copy-on-write (small tables only)
-        cur = self.read()
+        cur = self.read(snapshot_id=base) if base else None
         if cur is None:
             if resolve is not None:
                 df = resolve(None, df)
-            return self.overwrite(df, partition_by)
+            return self._overwrite_once(df, partition_by, expected_parent=base)
         if purge is not None:
             cur = cur.join(
                 purge.dropDuplicates(purge_keys), on=purge_keys, how="left_anti"
@@ -387,15 +505,19 @@ class SnapshotTable:
         kept = cur.join(df.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
         merged = kept.select(df.columns).unionByName(df)
         fs = self._write_fileset(merged, partition_by)
-        return self._commit([fs], "merge", {"keys": keys})
+        return self._commit([fs], "merge", {"keys": keys}, expected_parent=base)
 
     def delete_matching(self, match_df: DataFrame, keys: list[str]) -> str:
         """Delete rows whose `keys` match a row of match_df (anti-join — no
         driver collect, no string-predicate injection). Bucketed tables
         rewrite only affected buckets."""
+        return self._retrying(lambda: self._delete_matching_once(match_df, keys))
+
+    def _delete_matching_once(self, match_df: DataFrame, keys: list[str]) -> str:
         cur_snap = self.current_snapshot()
+        base = cur_snap["snapshot_id"] if cur_snap else None
         if cur_snap is None:
-            return self._commit([], "delete", {"keys": keys})
+            return self._commit([], "delete", {"keys": keys}, expected_parent=base)
         if self.bucket_key is not None and self._bucket_map(cur_snap):
             aff = self._affected_buckets(match_df)
             bmap = self._bucket_map(cur_snap)
@@ -404,7 +526,7 @@ class SnapshotTable:
             if not touched:
                 return self._commit(
                     cur_snap["filesets"], "delete", {"keys": keys, "noop": True},
-                    bmap, part or [],
+                    bmap, part or [], expected_parent=base,
                 )
             cur = self._read_paths([p for b in touched for p in bmap[b]])
             remaining = cur.join(
@@ -416,13 +538,14 @@ class SnapshotTable:
             new_bmap = {b: p for b, p in bmap.items() if b not in aff}
             new_bmap.update(new_buckets)
             return self._commit(
-                [fs], "delete", {"keys": keys, "rewritten_buckets": len(touched)},
-                new_bmap, part or [],
+                self._referenced_filesets(new_bmap, fs), "delete",
+                {"keys": keys, "rewritten_buckets": len(touched)},
+                new_bmap, part or [], expected_parent=base,
             )
-        cur = self.read()
+        cur = self.read(snapshot_id=base)
         remaining = cur.join(match_df.dropDuplicates(keys), on=keys, how="left_anti")
         fs = self._write_fileset(remaining, None)
-        return self._commit([fs], "delete", {"keys": keys})
+        return self._commit([fs], "delete", {"keys": keys}, expected_parent=base)
 
     def delete_where(self, condition: str) -> str:
         """Predicate delete (full-table rewrite — use delete_matching for
@@ -440,23 +563,121 @@ class SnapshotTable:
         fs = self._write_fileset(remaining, None)
         return self._commit([fs], "delete", {"condition": condition})
 
+    @staticmethod
+    def _live_filesets(snap: dict | None) -> set[str]:
+        """Every fileset a snapshot references: the 'filesets' list PLUS the
+        filesets that carried-forward bucket paths point into. A bucketed
+        merge/delete commit lists only the fileset it wrote, while unaffected
+        buckets still reference older filesets' dirs — liveness must come
+        from the bucket map too (ADVICE r2: dropping those from the diff
+        silently skips their changed conversations forever)."""
+        if snap is None:
+            return set()
+        live = set(snap["filesets"])
+        for paths in snap.get("buckets", {}).values():
+            live.update(p.split("/", 1)[0] for p in paths)
+        return live
+
+    def _chain_back_to(
+        self, from_snapshot_id: str | None
+    ) -> tuple[list[dict], dict | None]:
+        """Walk the parent chain from HEAD back to (excluding)
+        `from_snapshot_id`: returns (snapshots after it, newest first; the
+        base snapshot or None). O(commits since) manifest reads — never a
+        scan of the whole snapshots/ directory (manifest-hygiene item: a
+        1000-commit table resolves a recent diff in a handful of reads)."""
+        out: list[dict] = []
+        s = self.current_snapshot()
+        while s is not None:
+            if s["snapshot_id"] == from_snapshot_id:
+                return out, s
+            out.append(s)
+            parent = s.get("parent")
+            if parent is None:
+                return out, None
+            try:
+                s = self._read_snapshot(parent)
+            except FileNotFoundError:  # expired past the retained window
+                return out, None
+        return out, None
+
     def diff_filesets(self, from_snapshot_id: str | None) -> DataFrame | None:
         """Rows in filesets added after `from_snapshot_id` (changelog read —
-        the incremental-source analog of an Iceberg snapshot diff). Only
-        meaningful across append commits."""
-        snaps = self.snapshots()
-        seen: set[str] = set()
-        found = from_snapshot_id is None
+        the incremental-source analog of an Iceberg snapshot diff). A merge
+        fileset includes carried bucket-mates, so the result over-approximates
+        the changed rows — callers hash-filter (see KGPipeline.run_from_table).
+
+        Resolved by walking the HEAD parent chain back to the base snapshot
+        (O(commits since), not O(all history)). A fileset is new iff some
+        post-base snapshot references it and the base did not: filesets are
+        immutable uuid dirs, so one dropped before the base can never
+        reappear after it."""
+        after, base = self._chain_back_to(from_snapshot_id)
+        if from_snapshot_id is not None and base is None:
+            raise ValueError(
+                f"snapshot {from_snapshot_id!r} not found in {self.root} "
+                "(expired?) — fall back to a full re-read"
+            )
+        seen = self._live_filesets(base)
         new_fs: list[str] = []
-        for s in snaps:
-            if found:
-                new_fs.extend(fs for fs in s["filesets"] if fs not in seen)
-            seen.update(s["filesets"])
-            if s["snapshot_id"] == from_snapshot_id:
-                found = True
-        live = set(self.current_snapshot()["filesets"]) if self.current_snapshot() else set()
+        for s in reversed(after):  # oldest -> newest, stable order
+            new_fs.extend(fs for fs in self._live_filesets(s) if fs not in seen)
+            seen.update(self._live_filesets(s))
+        live = self._live_filesets(self.current_snapshot())
         new_fs = [fs for fs in dict.fromkeys(new_fs) if fs in live]
         if not new_fs:
             return None
-        paths = [os.path.join(self.root, "data", fs) for fs in new_fs]
-        return self.spark.read.parquet(*paths)
+        # bucketed filesets hold _bucket=K partition dirs; plain ones don't —
+        # group through _read_paths so partition discovery stays consistent
+        rel: list[str] = []
+        for fs in new_fs:
+            path = os.path.join(self.root, "data", fs)
+            subs = [d for d in os.listdir(path) if d.startswith("_bucket=")]
+            rel.extend(f"{fs}/{d}" for d in subs) if subs else rel.append(fs)
+        return self._read_paths(rel)
+
+    def expire_snapshots(self, keep_last: int = 10) -> dict:
+        """Manifest + data hygiene: retain the last `keep_last` snapshots of
+        the HEAD chain, delete older manifests and any fileset directory no
+        retained snapshot references (Iceberg `expire_snapshots` analog —
+        without it the snapshots/ dir and orphaned merge filesets grow
+        forever). Time travel and diff_filesets keep working within the
+        retained window; diffing from an expired snapshot raises."""
+        keep: list[dict] = []
+        s = self.current_snapshot()
+        while s is not None and len(keep) < keep_last:
+            keep.append(s)
+            parent = s.get("parent")
+            if parent is None:
+                break
+            try:
+                s = self._read_snapshot(parent)
+            except FileNotFoundError:
+                break
+        keep_ids = {k["snapshot_id"] for k in keep}
+        live: set[str] = set()
+        for k in keep:
+            live |= self._live_filesets(k)
+        removed_snaps = removed_fs = 0
+        with self._commit_lock():  # exclude concurrent committers
+            snap_dir = os.path.join(self.root, "snapshots")
+            # delete only filesets a now-expired manifest referenced — a dir
+            # not referenced by ANY manifest may belong to an in-flight
+            # writer that has not committed yet (same reason Iceberg splits
+            # expire_snapshots from remove_orphan_files)
+            dead: set[str] = set()
+            for name in os.listdir(snap_dir):
+                if name.endswith(".json") and name[:-5] not in keep_ids:
+                    dead |= self._live_filesets(self._read_snapshot(name[:-5]))
+                    os.remove(os.path.join(snap_dir, name))
+                    removed_snaps += 1
+            for fs in sorted(dead - live):
+                path = os.path.join(self.root, "data", fs)
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+                    removed_fs += 1
+        return {
+            "removed_snapshots": removed_snaps,
+            "removed_filesets": removed_fs,
+            "kept": len(keep),
+        }

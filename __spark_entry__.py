@@ -378,6 +378,29 @@ def q_kg_entity_embeddings(spark, sf_dir):
     )
 
 
+def q_kg_index_health(spark, sf_dir):
+    """Q1 health extension (status.go:108-129): per-kind entity counts,
+    embedding coverage %, zero-embedding warning — tools are deliberately
+    not embedded (the reference embeds functions/types only), so the tool
+    row exercises the warning flag."""
+    from cie_spark.functions import mock_embedding
+    from cie_spark.operators.graph_queries import GraphQueries
+
+    linked, _ = _linked(spark, sf_dir)
+    ids = linked.select("entity_id").distinct()
+    ents = ids.select(
+        "entity_id",
+        F.when(F.col("entity_id").startswith("tool:"), F.lit("tool"))
+        .otherwise(F.lit("entity"))
+        .alias("kind"),
+        F.when(
+            ~F.col("entity_id").startswith("tool:"),
+            mock_embedding(F.regexp_replace("entity_id", "^ent:", "")),
+        ).alias("embedding"),
+    )
+    return GraphQueries(None, ents).index_health()
+
+
 def q_kg_find_callers_indirect(spark, sf_dir):
     """Q6 with include_indirect: 3-round BFS over the bipartite agent-tool
     call graph (search.go:489-530 semantics: bounded depth, visited set,
@@ -387,16 +410,23 @@ def q_kg_find_callers_indirect(spark, sf_dir):
     linked, t = _linked(spark, sf_dir)
     calls = triples.calls_triples(linked, t)
     gq = GraphQueries(calls)
-    # no inner cap: the caller-domain restriction applies BEFORE the final
-    # 100-row cut, so Spark and the recursive-CTE oracle cut identically
-    out = gq.find_callers("tool:bash", include_indirect=True, limit=None)
-    dom = calls.select("subj").distinct()
-    return (
-        out.join(dom, on="subj", how="left_semi")
-        .withColumn("indirect", F.col("indirect").cast("int"))
-        .orderBy(F.desc("n_calls"), "subj")
-        .limit(100)
-    )
+    # the caller-domain restriction now lives INSIDE find_callers (depth-2
+    # nodes of the bipartite call graph are tools, not callers), so the
+    # library result maps 1:1 onto the recursive-CTE oracle's 100-row cut
+    out = gq.find_callers("tool:bash", include_indirect=True, limit=100)
+    return out.withColumn("indirect", F.col("indirect").cast("int"))
+
+
+def q_kg_callees_dispatch(spark, sf_dir):
+    """Q7 with query-side dispatch fan-out (search.go:269-447 analog): tools
+    called in other conversations sharing a mentioned entity with the
+    agent's conversation, deduped against the direct set and flagged."""
+    from cie_spark.operators.graph_queries import GraphQueries
+
+    linked, t = _linked(spark, sf_dir)
+    gq = GraphQueries(triples.all_triples(linked, t))
+    out = gq.find_callees("agent:conv-000000", limit=100, include_dispatch=True)
+    return out.withColumn("dispatch", F.col("dispatch").cast("int"))
 
 
 def q_kg_get_code(spark, sf_dir):
@@ -460,7 +490,10 @@ def q_kg_grep_context(spark, sf_dir):
     )
 
 
-# rows-only checks (no SQL-expressible oracle; verified in pytest instead)
+# rows-only checks (no SQL-expressible oracle; verified in pytest instead).
+# Round 3 shrank this set: doc_minhash_pairs / doc_simhash_pairs /
+# emb_near_dup are now oracle-checked (see their docstrings) — only the
+# sampling-based ANN probes and the binary media codecs remain rows-only.
 
 
 def q_ann_topk_lsh(spark, sf_dir):
@@ -478,15 +511,38 @@ def q_ann_topk_ivf(spark, sf_dir):
 
 
 def q_doc_minhash_pairs(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    """MinHash-LSH blocked near-dup pairs, run at the SAME threshold as the
+    exact inverted-index twin so the result is oracle-checkable: the banded
+    algorithm is unchanged (block -> exact-Jaccard verify, so precision is
+    1.0 by construction), and at threshold 0.8 with rows=4/bands=16 the
+    per-true-pair candidate recall is 1-(1-j^4)^16 >= 0.9998, so the output
+    equals the exact pair set (verified empirically at sf0.01; a recall
+    miss here would surface as a hash mismatch, which is the point)."""
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.8, round_to=4
+    )
 
 
 def q_doc_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs — fully oracle-checked STRUCTURALLY: with 4
+    bands and max_hamming=3 the pigeonhole blocking is exhaustive (a pair
+    within hamming 3 differs in at most 3 of the 4 bands), so the output is
+    exactly "all pairs with simhash-hamming <= 3"; the token hash is FNV-1a
+    (DuckDB-renderable), making the whole signature reproducible in SQL."""
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
 def q_emb_near_dup(spark, sf_dir):
-    return simsearch.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.9)
+    """Banded hyperplane-LSH embedding near-dup at the SAME threshold as the
+    exact twin so the result is oracle-checkable: 8 bands of 2 bits give
+    per-true-pair recall 1-(1-(1-acos(s)/pi)^2)^8 >= 0.99 at s >= 0.5, and
+    the exact-cosine verify keeps precision 1.0 — the output equals the
+    exact all-pairs set (verified at sf0.01). The scale path (threshold 0.9,
+    4x4-bit bands, hot-bucket cap) is exercised in bench.py and the
+    planted-pair recall pytest."""
+    return simsearch.cosine_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.5, n_planes=16, bands=8
+    )
 
 
 def q_media_features(spark, sf_dir):
@@ -585,6 +641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_similar_entities": q_kg_similar_entities,
         "kg_semantic_search": q_kg_semantic_search,
         "kg_entity_embeddings": q_kg_entity_embeddings,
+        "kg_index_health": q_kg_index_health,
+        "kg_callees_dispatch": q_kg_callees_dispatch,
         "kg_find_callers_indirect": q_kg_find_callers_indirect,
         "kg_get_code": q_kg_get_code,
         "kg_truncated_turns": q_kg_truncated_turns,
@@ -669,7 +727,14 @@ def _fnv_sql(col: str) -> str:
     """DuckDB rendering of FNV-1a 64 (cie_spark.functions.hash_str /
     fnv1a_array) — an INDEPENDENT implementation of the frozen embedding
     spec, so the oracle actually verifies the Spark-side vector contents.
-    HUGEINT intermediate keeps the 64x40-bit multiply exact; % 2^64 wraps."""
+    HUGEINT intermediate keeps the 64x40-bit multiply exact; % 2^64 wraps.
+
+    ASCII-ONLY caveat (ADVICE r2): this rendering hashes Unicode CODEPOINTS
+    (`unicode(substr(...))`) while the Spark side hashes UTF-8 BYTES — they
+    agree exactly on ASCII and diverge on any multi-byte character. The
+    hashed values here are canonical entity ids, which are ASCII by
+    construction (spec.norm collapses everything outside [a-z0-9] to '-',
+    and stub ids are hex); tests/test_spec.py pins that invariant."""
     return (
         "CAST(list_reduce("
         "list_prepend(CAST(14695981039346656037 AS HUGEINT), "
@@ -736,6 +801,75 @@ WHERE rn <= {k * over_fetch}
   AND sim >= CAST({min_similarity!r} AS DOUBLE)
 ORDER BY score DESC, entity_id ASC
 LIMIT {k}"""
+
+
+_JACCARD_EXACT_SQL = """
+WITH arr AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS a
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(a) >= 3 THEN
+      list_distinct(list_transform(generate_series(1, len(a) - 2),
+        i -> a[i] || ' ' || a[i + 1] || ' ' || a[i + 2]))
+    ELSE [array_to_string(a, ' ')] END AS sh
+  FROM arr
+),
+pairs AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      / len(list_distinct(x.sh || y.sh)) AS j
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.8"""
+
+_EMB_EXACT_SQL = """
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS s
+  FROM d a JOIN d b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(s, 4) AS sim FROM p WHERE s >= 0.5"""
+
+
+def _simhash_sql() -> str:
+    """DuckDB rendering of the full simhash pipeline (tokenize -> FNV-1a ->
+    per-bit majority -> 64-bit signature -> hamming <= 3 pairs): an
+    independent implementation of dedup._simhash64_udf, valid because the
+    Spark side's pigeonhole banding is exhaustive for hamming <= bands-1."""
+    fnv_tok = _fnv_sql("t")
+    # powers of two as literals: DuckDB's << overflows at bit 63
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(h, x -> (x >> {b}) & 1 = 1)) >= n"
+        f" THEN CAST({1 << b} AS UBIGINT) ELSE CAST(0 AS UBIGINT) END)"
+        for b in range(64)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(lower(coalesce(text, '')))) = 0
+         THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+')
+    END AS tk
+  FROM documents
+),
+hs AS (
+  SELECT doc_id, list_transform(tk, t -> {fnv_tok}) AS h, len(tk) AS n
+  FROM toks
+),
+sig AS (
+  SELECT doc_id,
+    CASE WHEN n = 0 THEN CAST(0 AS UBIGINT) ELSE ({bit_terms}) END AS s
+  FROM hs
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -859,6 +993,22 @@ SELECT entity_id, CAST(64 AS INT) AS dim, CAST(1 AS INT) AS n_nonzero,
   CAST(h % 64 + 1 AS INT) AS nonzero_idx,
   CAST(CASE WHEN (h >> 32) % 2 = 1 THEN 1 ELSE -1 END AS INT) AS sign
 FROM hashed""",
+        "kg_index_health": f"""{_KG_CTES}, ids AS (
+  SELECT DISTINCT entity_id FROM linked
+  UNION SELECT DISTINCT obj AS entity_id FROM calls
+),
+kinds AS (
+  SELECT entity_id,
+         CASE WHEN entity_id LIKE 'tool:%' THEN 'tool' ELSE 'entity' END AS kind
+  FROM ids
+)
+SELECT kind, count(*) AS n_entities,
+  CAST(sum(CASE WHEN kind = 'entity' THEN 1 ELSE 0 END) AS BIGINT) AS n_embedded,
+  round(CAST(100 AS DOUBLE) * sum(CASE WHEN kind = 'entity' THEN 1 ELSE 0 END)
+        / count(*), 2) AS coverage_pct,
+  CAST(CASE WHEN sum(CASE WHEN kind = 'entity' THEN 1 ELSE 0 END) = 0
+       THEN 1 ELSE 0 END AS INT) AS warn_no_embeddings
+FROM kinds GROUP BY kind""",
         "kg_find_callers_indirect": f"""{_KG_CTES}, cagg AS (
   SELECT DISTINCT subj, obj FROM calls
 ),
@@ -890,6 +1040,36 @@ SELECT subj, n_calls, indirect FROM (
   UNION ALL
   SELECT subj, CAST(0 AS BIGINT) AS n_calls, CAST(1 AS INT) AS indirect FROM ind
 ) ORDER BY n_calls DESC, subj ASC LIMIT 100""",
+        "kg_callees_dispatch": f"""{_KG_CTES}, my_convs AS (
+  SELECT DISTINCT conv_id FROM calls WHERE subj = 'agent:conv-000000'
+),
+my_ents AS (
+  SELECT DISTINCT obj FROM contains_t
+  WHERE conv_id IN (SELECT conv_id FROM my_convs)
+),
+other_convs AS (
+  SELECT DISTINCT conv_id FROM contains_t
+  WHERE obj IN (SELECT obj FROM my_ents)
+    AND conv_id NOT IN (SELECT conv_id FROM my_convs)
+),
+direct AS (
+  SELECT obj, count(*) AS n_calls, CAST(min(turn_idx) AS INT) AS first_turn
+  FROM calls WHERE subj = 'agent:conv-000000' GROUP BY obj
+),
+disp AS (
+  SELECT obj, count(*) AS n_calls, CAST(min(turn_idx) AS INT) AS first_turn
+  FROM calls
+  WHERE conv_id IN (SELECT conv_id FROM other_convs)
+    AND obj NOT IN (SELECT obj FROM direct)
+  GROUP BY obj
+),
+unioned AS (
+  SELECT obj, n_calls, first_turn, CAST(0 AS INT) AS dispatch FROM direct
+  UNION ALL
+  SELECT obj, n_calls, first_turn, CAST(1 AS INT) AS dispatch FROM disp
+)
+SELECT obj, n_calls, first_turn, dispatch FROM unioned
+ORDER BY dispatch ASC, n_calls DESC, obj ASC LIMIT 100""",
         "kg_get_code": f"""{_KG_CTES}, named AS (
   SELECT regexp_replace(obj, '^(ent:|tool:)', '') AS canonical_name,
          conv_id, turn_idx
@@ -986,36 +1166,14 @@ SELECT conv_id, turn_idx, tool,
 FROM transcripts
 WHERE regexp_matches(text, 'with arg [0-9]+')
   AND CAST(regexp_extract(text, 'with arg ([0-9]+)', 1) AS INT) > 50""",
-        "doc_jaccard_pairs_exact": """
-WITH arr AS (
-  SELECT doc_id,
-         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS a
-  FROM documents
-),
-sh AS (
-  SELECT doc_id,
-    CASE WHEN len(a) >= 3 THEN
-      list_distinct(list_transform(generate_series(1, len(a) - 2),
-        i -> a[i] || ' ' || a[i + 1] || ' ' || a[i + 2]))
-    ELSE [array_to_string(a, ' ')] END AS sh
-  FROM arr
-),
-pairs AS (
-  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-      / len(list_distinct(x.sh || y.sh)) AS j
-  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-)
-SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.8""",
-        "emb_near_dup_exact": """
-WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-p AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-    list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS s
-  FROM d a JOIN d b ON a.vec_id < b.vec_id
-)
-SELECT id_a, id_b, round(s, 4) AS sim FROM p WHERE s >= 0.5""",
+        "doc_jaccard_pairs_exact": _JACCARD_EXACT_SQL,
+        # the banded/blocked tiers run at the same operating point as their
+        # exact twins and are verify-stage-exact, so the SAME oracle checks
+        # them (a blocking recall miss = hash mismatch = red row)
+        "doc_minhash_pairs": _JACCARD_EXACT_SQL,
+        "emb_near_dup_exact": _EMB_EXACT_SQL,
+        "emb_near_dup": _EMB_EXACT_SQL,
+        "doc_simhash_pairs": _simhash_sql(),
         "ann_topk_bruteforce": """
 WITH q AS (
   SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0

@@ -35,10 +35,70 @@ def _queries(spark, warehouse, need_transcripts: str | None):
     return GraphQueries(triples, entities, transcripts), pipe
 
 
-def _emit(df, limit: int | None = None) -> None:
+# collect() safety net: no emit path may pull an unbounded result to the
+# driver (a server-mode reuse of _emit would otherwise OOM on a fat query)
+DEFAULT_ROW_CAP = 1000
+
+
+def _emit(df, limit: int | None = DEFAULT_ROW_CAP) -> None:
     rows = df.limit(limit).collect() if limit else df.collect()
     for r in rows:
         print(json.dumps(r.asDict(recursive=True), default=str))
+
+
+# tools servable over the JSON-lines protocol: every GraphQueries method a
+# reference MCP client would call (cmd/cie/mcp.go:578-1234 registry analog);
+# args map 1:1 onto the method's keyword parameters
+SERVE_TOOLS = frozenset({
+    "index_status", "index_health", "search_text", "find_entity",
+    "find_callers", "find_callees", "call_graph", "similar_entities",
+    "conv_summary", "semantic_search", "grep", "grep_context",
+    "verify_absence", "list_tools", "top_entities_per_conv", "trace_path",
+    "entity_history", "find_introduction", "blame", "get_code",
+})
+
+
+def serve_loop(gq, inp, out, row_cap: int = DEFAULT_ROW_CAP) -> int:
+    """Long-lived JSON-lines tool server over a warm SparkSession — the
+    analog of the reference's MCP stdio surface (cmd/cie/mcp.go:38-46
+    framing, 1280+ dispatch): one request object per line
+    `{"id"?, "tool", "args"?}`, one response per line `{"id", "ok", "rows"}`
+    or `{"id", "ok": false, "error"}`. Errors never kill the session, so a
+    client pays Spark startup once for any number of queries."""
+    from pyspark.sql import DataFrame
+
+    n = 0
+    for line in inp:
+        line = line.strip()
+        if not line:
+            continue
+        req: dict = {}
+        try:
+            req = json.loads(line)
+            if not isinstance(req, dict):
+                raise ValueError("request must be a JSON object")
+            tool = req.get("tool")
+            if tool not in SERVE_TOOLS:
+                raise ValueError(f"unknown tool {tool!r}")
+            res = getattr(gq, tool)(**req.get("args", {}))
+            if isinstance(res, DataFrame):
+                rows = [
+                    r.asDict(recursive=True)
+                    for r in res.limit(row_cap).collect()
+                ]
+                resp = {"id": req.get("id"), "ok": True, "rows": rows}
+            else:  # trace_path returns plain python
+                resp = {"id": req.get("id"), "ok": True, "result": res}
+        except Exception as e:  # noqa: BLE001 — protocol: report, keep serving
+            resp = {
+                "id": req.get("id") if isinstance(req, dict) else None,
+                "ok": False,
+                "error": f"{type(e).__name__}: {e}",
+            }
+        out.write(json.dumps(resp, default=str) + "\n")
+        out.flush()
+        n += 1
+    return n
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -62,9 +122,18 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("sql", help="raw SQL over warehouse tables (cie query)")
     p.add_argument("statement")
 
+    p = sub.add_parser(
+        "serve",
+        help="long-lived JSON-lines tool server over one warm session "
+        "(MCP-surface analog): requests {'tool', 'args'} on stdin, "
+        "responses on stdout",
+    )
+    p.add_argument("--transcripts", help="transcript parquet for text tools")
+    p.add_argument("--row-cap", type=int, default=DEFAULT_ROW_CAP)
+
     q = sub.add_parser("query", help="run one query tool (MCP tool analog)")
     q.add_argument("tool", choices=[
-        "index_status", "find_callers", "find_callees", "call_graph",
+        "index_status", "index_health", "find_callers", "find_callees", "call_graph",
         "find_entity", "similar_entities", "semantic_search", "search_text",
         "grep", "grep_context", "verify_absence", "list_tools",
         "top_entities_per_conv", "conv_summary", "entity_history",
@@ -131,11 +200,18 @@ def main(argv: list[str] | None = None) -> int:
             _emit(spark.sql(a.statement))
             return 0
 
+        if a.cmd == "serve":
+            gq, _pipe = _queries(spark, a.warehouse, a.transcripts)
+            serve_loop(gq, sys.stdin, sys.stdout, row_cap=a.row_cap)
+            return 0
+
         # query tools
         gq, _pipe = _queries(spark, a.warehouse, a.transcripts)
         t, args = a.tool, a.args
         if t == "index_status":
             _emit(gq.index_status())
+        elif t == "index_health":
+            _emit(gq.index_health())
         elif t == "find_callers":
             _emit(gq.find_callers(args[0], include_indirect=a.indirect, limit=a.limit))
         elif t == "find_callees":

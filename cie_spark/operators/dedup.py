@@ -148,11 +148,14 @@ def minhash_candidates(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, *, threshold: float = 0.8, shingle_words: int = 3, **kw
+    docs: DataFrame, *, threshold: float = 0.8, shingle_words: int = 3,
+    round_to: int = 6, **kw
 ) -> DataFrame:
     """Near-dup pairs with exact word-shingle Jaccard >= threshold, verified
     on LSH candidates only (blocking-then-verify). Band rows auto-tighten
-    for high thresholds (S-curve: collision p = 1-(1-j^rows)^bands)."""
+    for high thresholds (S-curve: collision p = 1-(1-j^rows)^bands).
+    `round_to` controls the jaccard column's rounding (4 = the exact
+    oracle-twin's precision, for subset/equality comparison)."""
     kw.setdefault("rows", 4 if threshold >= 0.7 else 2)
     release: list = []
     cands = minhash_candidates(
@@ -178,7 +181,7 @@ def ngram_jaccard_pairs(
     out = (
         j.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("doc_a", "doc_b", F.round("jaccard", round_to).alias("jaccard"))
         .localCheckpoint(eager=True)
     )
     sh.unpersist()
@@ -244,14 +247,19 @@ def _simhash64_udf(texts: pd.Series) -> pd.Series:
     """64-bit simhash, Arrow-vectorized (one numpy pass per batch).
 
     Classic simhash: bit b of the signature is set iff the majority of token
-    hashes have bit b set. Token hash = pandas `hash_array` (vectorized
-    SipHash with a fixed key — deterministic across processes). A
-    pure-expression formulation (64 filter/size passes) generates
+    hashes have bit b set (ties set). Token hash = FNV-1a 64 over UTF-8
+    bytes (functions.fnv1a_array — vectorized, process-stable, and
+    independently renderable in DuckDB, which makes the banded pair output
+    fully ORACLE-CHECKABLE: with bands > max_hamming the pigeonhole blocking
+    is exhaustive, so the result is exactly "all pairs with hamming <= d").
+    A pure-expression formulation (64 filter/size passes) generates
     pathological codegen — measured 40 s vs seconds on 5k docs — so this is
     the documented 'custom operator -> vectorized pandas UDF' escape hatch.
     Per-token Python hashing is avoided too: all batch tokens are flattened
-    and hashed in one C call, then segment-reduced with np.add.reduceat.
+    and hashed in one numpy pass, then segment-reduced with np.add.reduceat.
     """
+    from cie_spark.functions import fnv1a_array
+
     shifts = np.arange(64, dtype=np.uint64)
     n = len(texts)
     tok_lists = [
@@ -265,7 +273,7 @@ def _simhash64_udf(texts: pd.Series) -> pd.Series:
     flat = np.concatenate(
         [np.asarray(ts, dtype=object) for ts in tok_lists if ts]
     )
-    hs = pd.util.hash_array(flat)  # uint64, vectorized, process-stable
+    hs = fnv1a_array(flat)  # uint64, vectorized, DuckDB-renderable
     bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)  # T×64
     starts = np.zeros(int(nonzero.sum()), dtype=np.int64)
     np.cumsum(lens[nonzero][:-1], out=starts[1:])

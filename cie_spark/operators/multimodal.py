@@ -364,8 +364,11 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                             ids.append(mid); times.append(t_ms); blobs.append(frame)
                             next_t += every_ms
                 else:
+                    # metadata-only path: a container with NULL/0 duration
+                    # has no sampleable timeline — emit no frames (ADVICE r2:
+                    # max(dur, 1) forced a spurious t=0 frame)
                     dur = meta.get("duration_ms") or 0
-                    for t in range(0, max(dur, 1), every_ms):
+                    for t in range(0, dur, every_ms):
                         ids.append(mid); times.append(t); blobs.append(None)
             yield pd.DataFrame(
                 {"media_id": ids, "frame_ms": times, "frame_payload": blobs}

@@ -115,22 +115,43 @@ class KGPipeline:
     # -- delta ----------------------------------------------------------
 
     def _conv_hashes(self, transcripts: DataFrame) -> DataFrame:
-        """Per-conversation content hash: order-independent aggregate of
-        per-turn row hashes (hash-delta analog, hash_delta.go:48-157)."""
-        row_h = F.sha2(
-            F.concat_ws(
-                "\x1f",
-                F.col("turn_idx").cast("string"),
-                F.coalesce(F.col("role"), F.lit("")),
-                F.coalesce(F.col("text"), F.lit("")),
-                F.coalesce(F.col("tool"), F.lit("")),
-            ),
-            256,
+        """Per-conversation content hash: ORDER-INDEPENDENT and CONSTANT-
+        SPACE (hash-delta analog, hash_delta.go:48-157).
+
+        Round-3 rewrite: the previous sort_array(collect_list(row_hash))
+        materialized every per-turn hash in one aggregation buffer — a
+        10^6-turn mega-conversation built a ~64 MB array per group at 100-TB
+        scale. Instead, two independent xxhash64 lanes over the row content
+        are reduced with commutative aggregates (decimal sum + bit_xor per
+        lane), which run in O(1) space per group, combine map-side, and are
+        partition-order independent by commutativity. A spoof needs a
+        simultaneous collision in all four lanes + the row count — far
+        beyond what change detection requires. Delta semantics unchanged."""
+        content = F.concat_ws(
+            "\x1f",
+            F.col("turn_idx").cast("string"),
+            F.coalesce(F.col("role"), F.lit("")),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.coalesce(F.col("tool"), F.lit("")),
         )
-        return transcripts.groupBy("conv_id").agg(
-            F.sha2(F.concat_ws("", F.sort_array(F.collect_list(row_h))), 256).alias(
-                "conv_hash"
-            ),
+        hashed = transcripts.select(
+            "conv_id",
+            F.xxhash64(content).alias("_h1"),
+            F.xxhash64(content, F.lit(1)).alias("_h2"),
+        )
+        # decimal(38,0) sums cannot overflow below ~10^19 turns per conv
+        return hashed.groupBy("conv_id").agg(
+            F.sha2(
+                F.concat_ws(
+                    "|",
+                    F.sum(F.col("_h1").cast("decimal(38,0)")).cast("string"),
+                    F.expr("bit_xor(_h1)").cast("string"),
+                    F.sum(F.col("_h2").cast("decimal(38,0)")).cast("string"),
+                    F.expr("bit_xor(_h2)").cast("string"),
+                    F.count("*").cast("string"),
+                ),
+                256,
+            ).alias("conv_hash"),
             F.count("*").cast("long").alias("n_turns"),
         )
 
@@ -475,7 +496,23 @@ class KGPipeline:
             )
 
         def _commit_vertices() -> None:
-            if self._pending_links is not None or not self.entities.exists():
+            need_merge = self._pending_links is not None or not self.entities.exists()
+            if not need_merge:
+                # Tool vertices never ride the surface dictionary (they link
+                # deterministically as 'tool:<norm>'), so "no new entity
+                # surfaces" does NOT prove the vertex table is complete: an
+                # incremental run can introduce a brand-new tool with zero
+                # new entity surfaces. Anti-join this run's (vocabulary-
+                # bounded) tool ids against the stored table before skipping.
+                stored = self.entities.read().select("entity_id")
+                new_tools = (
+                    linked.filter(F.col("kind") == "tool")
+                    .select("entity_id")
+                    .dropDuplicates(["entity_id"])
+                    .join(stored, on="entity_id", how="left_anti")
+                )
+                need_merge = not new_tools.isEmpty()
+            if need_merge:
                 self.entities.merge(
                     ent_df, keys=["entity_id"], resolve=_merge_entity_surfaces
                 )

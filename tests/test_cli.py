@@ -66,3 +66,53 @@ def test_cli_index_then_query_then_sql(wh, capsys, spark):
         "--warehouse", warehouse, "index", "--transcripts", tdir,
     ])
     assert again[0].get("skipped") is True
+
+
+def test_serve_protocol_one_session(wh, spark):
+    """serve mode (MCP-surface analog): several tools through the JSON-lines
+    protocol over ONE warm session, plus an error response for an unknown
+    tool and a malformed line — errors never kill the loop."""
+    import io
+
+    from cie_spark.cli import serve_loop
+    from cie_spark.operators.graph_queries import GraphQueries
+    from cie_spark.plans.pipeline import KGPipeline
+
+    warehouse, tdir = wh  # indexed by test_cli_index_then_query_then_sql
+    pipe = KGPipeline(spark, warehouse)
+    gq = GraphQueries(
+        pipe.triples.read(), pipe.entities.read(),
+        spark.read.parquet(tdir),
+    )
+    reqs = [
+        {"id": 1, "tool": "index_status"},
+        {"id": 2, "tool": "find_callers",
+         "args": {"tool_id": "tool:bash", "limit": 5}},
+        {"id": 3, "tool": "semantic_search",
+         "args": {"query": "postgresql", "k": 3}},
+        {"id": 4, "tool": "index_health"},
+        {"id": 5, "tool": "no_such_tool"},
+        "not json at all",
+        {"id": 6, "tool": "grep", "args": {"patterns": ["discussed"]}},
+    ]
+    inp = io.StringIO(
+        "\n".join(r if isinstance(r, str) else json.dumps(r) for r in reqs)
+    )
+    out = io.StringIO()
+    n = serve_loop(gq, inp, out)
+    assert n == 7
+    resp = [json.loads(line) for line in out.getvalue().splitlines()]
+    by_id = {r.get("id"): r for r in resp}
+    assert by_id[1]["ok"] and {row["pred"] for row in by_id[1]["rows"]} >= {"calls"}
+    assert by_id[2]["ok"] and all(
+        row["subj"].startswith("agent:") for row in by_id[2]["rows"]
+    )
+    assert by_id[3]["ok"] and by_id[3]["rows"][0]["canonical_name"] == "postgresql"
+    assert by_id[4]["ok"]
+    health = {row["kind"]: row for row in by_id[4]["rows"]}
+    assert health["entity"]["n_embedded"] > 0
+    assert health["entity"]["warn_no_embeddings"] == 0
+    assert not by_id[5]["ok"] and "no_such_tool" in by_id[5]["error"]
+    assert by_id[6]["ok"] and by_id[6]["rows"]
+    # the malformed line produced an ok=false response with id=None
+    assert any(not r["ok"] and r.get("id") is None for r in resp)

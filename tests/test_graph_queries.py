@@ -124,6 +124,7 @@ def test_find_callers_indirect_bfs(gq, spark):
     assert got["agent:a1"] == (1, False)  # direct
     assert got["agent:a2"] == (0, True)   # 3 hops: alpha<-a1<-beta<-a2
     assert "agent:a3" not in got          # unreachable within depth 3
+    assert "tool:beta" not in got         # depth-2 node is a tool, not a caller
     # depth map sanity via the generic BFS
     reach = {
         r.node: r.depth
@@ -176,3 +177,32 @@ def test_history_and_introduction_and_blame(gq, spark):
     conv = gq.triples.first().conv_id
     blame = gq.blame(conv).collect()
     assert abs(sum(r.share for r in blame) - 1.0) < 0.01
+
+
+def test_find_callees_dispatch_fanout(spark):
+    """Q7 dispatch: conv c1 (agent a1) mentions entity e1; conv c2 also
+    mentions e1 and its agent calls tool:zeta, which a1 never calls — the
+    dispatch tier must surface zeta (flagged), the direct join cannot."""
+    rows = [
+        ("agent:c1", "calls", "tool:alpha", "c1", 0, None, 1),
+        ("conv:c1", "contains", "ent:e1", "c1", 1, None, 1),
+        ("conv:c2", "contains", "ent:e1", "c2", 0, None, 1),
+        ("agent:c2", "calls", "tool:zeta", "c2", 1, None, 1),
+        # unrelated conversation: shares no entity with c1
+        ("conv:c3", "contains", "ent:e9", "c3", 0, None, 1),
+        ("agent:c3", "calls", "tool:omega", "c3", 1, None, 1),
+    ]
+    trips = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, conv_id string, "
+        "turn_idx int, ts timestamp, weight long",
+    )
+    g = GraphQueries(trips)
+    direct_only = {r.obj for r in g.find_callees("agent:c1").collect()}
+    assert direct_only == {"tool:alpha"}
+    got = {
+        r.obj: r.dispatch
+        for r in g.find_callees("agent:c1", include_dispatch=True).collect()
+    }
+    assert got == {"tool:alpha": False, "tool:zeta": True}
+    assert "tool:omega" not in got  # no shared entity -> no dispatch path

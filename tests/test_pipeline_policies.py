@@ -153,3 +153,64 @@ def test_incremental_touch_preserves_entity_surfaces(spark, tmp_path):
         r.entity_id: set(r.surfaces) for r in p.entities.read().collect()
     }
     assert {"PostgreSQL", "Postgres", "pg"} <= after["ent:postgresql"]
+
+
+def test_incremental_new_tool_writes_vertex(spark, tmp_path):
+    """ADVICE r2: an incremental run that introduces a NEW tool but zero new
+    entity surfaces must still write the 'tool:' vertex to the entities
+    table (tool ids never ride the surface-link dictionary, so the
+    no-new-surfaces merge skip must check them separately)."""
+    wh = str(tmp_path / "wh")
+    p = KGPipeline(spark, wh)
+    rows = [
+        ("c1", 0, "user", "about [[PostgreSQL]]", None, None),
+        ("c1", 1, "tool", "calling tool <bash> ok", "bash", None),
+    ]
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    p.run(spark.createDataFrame(rows, schema), prose=False)
+    ids0 = {r.entity_id for r in p.entities.read().collect()}
+    assert "tool:bash" in ids0
+
+    # second run: a brand-new conversation with a NEW tool and an already-
+    # known entity surface -> the surface dictionary does not advance
+    rows2 = rows + [
+        ("c2", 0, "user", "more [[PostgreSQL]]", None, None),
+        ("c2", 1, "tool", "calling tool <notify> done", "notify", None),
+    ]
+    p.run(spark.createDataFrame(rows2, schema), prose=False)
+    ids1 = {r.entity_id for r in p.entities.read().collect()}
+    assert "tool:notify" in ids1, "new tool vertex must be merged"
+    # and the calls edge agrees with the vertex table
+    objs = {
+        r.obj for r in p.triples.read().filter("pred = 'calls'").collect()
+    }
+    assert objs <= ids1
+
+
+def test_conv_hash_order_independent(spark, tmp_path):
+    """The conversation content hash must not depend on row order or
+    partitioning (commutative constant-space lanes), and must be sensitive
+    to any single-turn edit."""
+    p = KGPipeline(spark, str(tmp_path / "wh"))
+    t = generate_transcripts(spark, n_convs=6, avg_turns=8, seed=11).cache()
+    a = {r.conv_id: (r.conv_hash, r.n_turns) for r in p._conv_hashes(t).collect()}
+    shuffled = t.orderBy(F.rand(3)).repartition(7)
+    b = {
+        r.conv_id: (r.conv_hash, r.n_turns)
+        for r in p._conv_hashes(shuffled).collect()
+    }
+    assert a == b
+    t2 = t.withColumn(
+        "text",
+        F.when(
+            (F.col("conv_id") == "conv-000001") & (F.col("turn_idx") == 0),
+            F.lit("edited"),
+        ).otherwise(F.col("text")),
+    )
+    c = {r.conv_id: r.conv_hash for r in p._conv_hashes(t2).collect()}
+    assert c["conv-000001"] != a["conv-000001"][0]
+    assert all(c[k] == a[k][0] for k in c if k != "conv-000001")
+    t.unpersist()

@@ -88,3 +88,22 @@ def test_ann_lsh_filter_is_mapside(spark):
     qvec = list(emb.first()["embedding"])
     plan = _physical(simsearch.topk_lsh(emb, qvec, k=5))
     assert "Join" not in plan
+
+
+def test_semantic_search_topk_is_distributed(spark):
+    """The over-fetch stage must compile to TakeOrderedAndProject
+    (per-partition top-k + merge), never a single-partition global window
+    (which ships every entity row to one task)."""
+    from cie_spark.operators.graph_queries import GraphQueries
+
+    ents = spark.createDataFrame(
+        [(f"ent:e{i}", f"e{i}") for i in range(100)],
+        "entity_id string, canonical_name string",
+    )
+    gq = GraphQueries(None, ents)
+    q = gq.semantic_search("postgres database", k=5)
+    plan = _physical(q)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    # no single-partition exchange feeding a sort
+    assert "Exchange SinglePartition" not in plan

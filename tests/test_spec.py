@@ -71,3 +71,16 @@ def test_stub_id_python_vs_column(spark):
 def test_jaccard_examples():
     assert spec.jaccard(spec.shingles("postgresql-14"), spec.shingles("postgresql")) > 0.7
     assert spec.jaccard(spec.shingles("abc"), spec.shingles("xyz")) == 0.0
+
+
+def test_canonical_ids_are_ascii():
+    """The DuckDB FNV oracle hashes codepoints while Spark hashes UTF-8
+    bytes — they agree only on ASCII. Canonical ids are ASCII by
+    construction (norm collapses non-[a-z0-9] to '-'); pin it."""
+    for k, v in spec.SURFACE_TO_CANONICAL.items():
+        k.encode("ascii"); v.encode("ascii")
+    for t in spec.TOOL_VOCAB:
+        spec.norm(t).encode("ascii")
+    # norm of arbitrary unicode is still ASCII
+    assert spec.norm("café Ünïcode 日本語") .encode("ascii")
+    assert spec.stub_entity_id(spec.norm("日本語")).encode("ascii")

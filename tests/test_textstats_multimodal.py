@@ -70,3 +70,31 @@ def test_multimodal_resize_and_frames(spark):
     for r in frames:
         assert r.frame_ms % 1000 == 0
     media.unpersist()
+
+
+def test_sample_frames_skips_null_duration_videos(spark):
+    """ADVICE r2: a non-CBMV video with NULL/0 duration has no sampleable
+    timeline — it must emit zero frame rows, not a spurious t=0 frame."""
+    import pandas as pd
+
+    rows = [
+        {"media_id": 1, "kind": "video", "payload": None,
+         "meta": {"width": None, "height": None, "duration_ms": None,
+                  "codec": "h264"}},
+        {"media_id": 2, "kind": "video", "payload": None,
+         "meta": {"width": None, "height": None, "duration_ms": 0,
+                  "codec": "h264"}},
+        {"media_id": 3, "kind": "video", "payload": None,
+         "meta": {"width": None, "height": None, "duration_ms": 2500,
+                  "codec": "h264"}},
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    got = multimodal.sample_frames(df, every_ms=1000).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r.media_id, []).append(r.frame_ms)
+    assert 1 not in by_id and 2 not in by_id
+    assert sorted(by_id[3]) == [0, 1000, 2000]

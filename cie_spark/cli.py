@@ -123,6 +123,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("statement")
 
     p = sub.add_parser(
+        "expire", help="prune old snapshots + dead filesets on every "
+        "warehouse table (Iceberg expire_snapshots analog)"
+    )
+    p.add_argument("--keep-last", type=int, default=10)
+
+    p = sub.add_parser(
         "serve",
         help="long-lived JSON-lines tool server over one warm session "
         "(MCP-surface analog): requests {'tool', 'args'} on stdin, "
@@ -198,6 +204,15 @@ def main(argv: list[str] | None = None) -> int:
                 if df is not None:
                     df.createOrReplaceTempView(name)
             _emit(spark.sql(a.statement))
+            return 0
+
+        if a.cmd == "expire":
+            from cie_spark.plans.pipeline import KGPipeline
+
+            out = KGPipeline(spark, a.warehouse).expire_snapshots(
+                keep_last=a.keep_last
+            )
+            print(json.dumps(out))
             return 0
 
         if a.cmd == "serve":

@@ -50,23 +50,34 @@ def _band_explode(df: DataFrame, surf_col: str) -> DataFrame:
     )
 
 
-def _jaccard_col(a, b):
-    """Exact 3-gram Jaccard of two normalized strings as an expression."""
-    def sh(c):
-        return F.array_distinct(
-            F.when(
-                F.length(c) >= spec.SHINGLE_K,
-                F.transform(
-                    F.sequence(F.lit(1), F.length(c) - (spec.SHINGLE_K - 1)),
-                    lambda i: c.substr(i, F.lit(spec.SHINGLE_K)),
-                ),
-            ).otherwise(F.array(c))
+def _jaccard_udf():
+    """Exact 3-gram Jaccard of two normalized strings, as an Arrow-batched
+    pandas UDF implementing spec.shingles/spec.jaccard directly.
+
+    Deliberately NOT a Column expression: the expression rendering
+    (transform/sequence/array_intersect over both sides) compiles to a
+    janino codegen unit that costs several seconds of DRIVER time on a cold
+    JVM — a pure serial term that caps N->4N scaling efficiency — while the
+    frame it runs on is vocabulary-bounded (distinct unmatched surfaces x
+    dictionary), so expression-vs-UDF throughput is irrelevant. The python
+    workers are already warm from the extraction stage."""
+    import pandas as pd
+
+    # NB: no type annotations — `from __future__ import annotations` turns
+    # them into strings pyspark cannot resolve against the local `pd`
+    @F.pandas_udf("double")
+    def jacc(a, b):
+        return pd.Series(
+            [
+                spec.jaccard(spec.shingles(x), spec.shingles(y))
+                if isinstance(x, str) and isinstance(y, str)
+                else 0.0
+                for x, y in zip(a, b)
+            ],
+            dtype="float64",
         )
 
-    sa, sb = sh(a), sh(b)
-    inter = F.size(F.array_intersect(sa, sb))
-    union = F.size(F.array_union(sa, sb))
-    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return jacc
 
 
 # above this many dictionary entries, the fuzzy tier switches from the
@@ -153,7 +164,7 @@ def link_surfaces(
             )
         )
     pairs = candidates.withColumn(
-        "jacc", _jaccard_col(F.col("surface_norm"), F.col("dict_norm"))
+        "jacc", _jaccard_udf()(F.col("surface_norm"), F.col("dict_norm"))
     ).filter(F.col("jacc") >= spec.JACCARD_LINK_THRESHOLD)
     w = Window.partitionBy("surface_norm").orderBy(
         F.desc("jacc"), F.asc("entity_id")

@@ -90,6 +90,25 @@ class KGPipeline:
             spark, f"{warehouse}/surface_links", write_partitions=1
         )
 
+    # -- maintenance ----------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 10) -> dict:
+        """Prune old manifests + dead filesets across every warehouse table
+        (Iceberg expire_snapshots analog). keep_last bounds time travel and
+        incremental diffs; run from a cron/maintenance job, not the hot
+        path. NB: keep the SOURCE table's retained window longer than the
+        indexing cadence — run_from_table diffs from the last indexed
+        snapshot and raises if it has been expired."""
+        out = {}
+        for name, tbl in (
+            ("triples", self.triples), ("entities", self.entities),
+            ("lineage", self.lineage), ("processed_convs", self.processed),
+            ("surface_links", self.links),
+        ):
+            if tbl.exists():
+                out[name] = tbl.expire_snapshots(keep_last=keep_last)
+        return out
+
     # -- lineage --------------------------------------------------------
 
     def _record(self, run_id: str, rows: list[dict]) -> None:

@@ -51,6 +51,7 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # retry budget for optimistic-concurrency commits (each retry re-reads HEAD
 # and recomputes the write, so contention converges like Iceberg's CAS loop)
@@ -144,6 +145,7 @@ class SnapshotTable:
         buckets: dict[int, list[str]] | None = None,
         partition_by: list[str] | None = None,
         expected_parent: str | None = _UNCHECKED,
+        schema_info: tuple[dict, bool] | None = None,
     ) -> str:
         """Atomic snapshot commit with optional compare-and-swap.
 
@@ -157,11 +159,13 @@ class SnapshotTable:
         393-410)."""
         with self._commit_lock():
             return self._commit_locked(
-                filesets, op, summary, buckets, partition_by, expected_parent
+                filesets, op, summary, buckets, partition_by, expected_parent,
+                schema_info,
             )
 
     def _commit_locked(
-        self, filesets, op, summary, buckets, partition_by, expected_parent
+        self, filesets, op, summary, buckets, partition_by, expected_parent,
+        schema_info=None,
     ) -> str:
         prev = self.current_snapshot()
         if expected_parent is not _UNCHECKED:
@@ -186,6 +190,18 @@ class SnapshotTable:
             manifest["buckets"] = {str(k): v for k, v in sorted(buckets.items())}
         if partition_by is not None:
             manifest["partition_by"] = partition_by
+        if schema_info is not None:
+            manifest["table_schema"] = schema_info[0]
+            # an overwrite replaces every data file, so no mixed-schema
+            # files can remain; other ops inherit the flag from the parent
+            inherited = (
+                False if op == "overwrite"
+                else bool((prev or {}).get("schema_merge"))
+            )
+            manifest["schema_merge"] = inherited or schema_info[1]
+        elif prev is not None and "table_schema" in prev:
+            manifest["table_schema"] = prev["table_schema"]
+            manifest["schema_merge"] = prev.get("schema_merge", False)
         name = snap_id + ".json"
         tmp = os.path.join(self.root, "snapshots", "." + name + ".tmp")
         with open(tmp, "w") as f:
@@ -200,6 +216,51 @@ class SnapshotTable:
     @staticmethod
     def _bucket_map(snap: dict) -> dict[int, list[str]]:
         return {int(k): v for k, v in snap.get("buckets", {}).items()}
+
+    # -- schema evolution ---------------------------------------------------
+    #
+    # Additive evolution (Iceberg add-column analog): a write whose frame
+    # carries NEW columns widens the table schema recorded in the manifest;
+    # old data files simply lack the column and read back as NULL (parquet
+    # mergeSchema + explicit conforming for bucket-pruned reads of old-only
+    # files). Type changes and drops are rejected — same posture as Iceberg
+    # without an explicit ALTER.
+
+    def _evolve_schema(
+        self, prev: dict | None, df: DataFrame
+    ) -> tuple[T.StructType, bool]:
+        """(table schema after this write, did it widen?)."""
+        if prev is None or "table_schema" not in prev:
+            return df.schema, False
+        cur = T.StructType.fromJson(prev["table_schema"])
+        by_name = {f.name: f for f in cur.fields}
+        out = list(cur.fields)
+        widened = False
+        for f in df.schema.fields:
+            have = by_name.get(f.name)
+            if have is None:
+                out.append(f)
+                widened = True
+            elif have.dataType != f.dataType:
+                raise ValueError(
+                    f"{self.root}: schema evolution of column {f.name!r} "
+                    f"from {have.dataType.simpleString()} to "
+                    f"{f.dataType.simpleString()} is not supported "
+                    "(additive evolution only)"
+                )
+        return T.StructType(out), widened
+
+    @staticmethod
+    def _conform(df: DataFrame, schema: T.StructType) -> DataFrame:
+        """Project df onto `schema`: missing columns become typed NULLs,
+        column order follows the table schema."""
+        have = set(df.columns)
+        cols = [
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+        return df.select(*cols)
 
     @staticmethod
     def _referenced_filesets(bmap: dict[int, list[str]], *extra: str) -> list[str]:
@@ -276,15 +337,20 @@ class SnapshotTable:
                     buckets[int(d.split("=", 1)[1])] = [f"{fs}/{d}"]
         return fs, buckets
 
-    def _read_paths(self, rel_paths: list[str]) -> DataFrame | None:
+    def _read_paths(
+        self, rel_paths: list[str], merge_schema: bool = False
+    ) -> DataFrame | None:
         """Read a set of data paths. Bucket-partition dirs are grouped by
         fileset and read with basePath = the fileset root so partition
         discovery stays consistent across mixed path sets; the internal
         _bucket partition column is dropped (it is derivable from
         bucket_key). One read per fileset — bounded by commit count, not by
-        data size; the unions are plan-level only."""
+        data size; the unions are plan-level only. `merge_schema` is set
+        only on tables whose schema has evolved (footer merging costs; the
+        common fixed-schema table skips it)."""
         if not rel_paths:
             return None
+        ms = "true" if merge_schema else "false"
         plain = [p for p in rel_paths if "/_bucket=" not in p]
         by_fs: dict[str, list[str]] = {}
         for p in rel_paths:
@@ -293,20 +359,20 @@ class SnapshotTable:
         parts: list[DataFrame] = []
         if plain:
             parts.append(
-                self.spark.read.option("mergeSchema", "false").parquet(
+                self.spark.read.option("mergeSchema", ms).parquet(
                     *[os.path.join(self.root, "data", p) for p in plain]
                 )
             )
         for fs, ps in sorted(by_fs.items()):
             df = (
-                self.spark.read.option("mergeSchema", "false")
+                self.spark.read.option("mergeSchema", ms)
                 .option("basePath", os.path.join(self.root, "data", fs))
                 .parquet(*[os.path.join(self.root, "data", p) for p in ps])
             )
             parts.append(df.drop("_bucket"))
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            out = out.unionByName(p, allowMissingColumns=merge_schema)
         return out
 
     def read(
@@ -321,13 +387,20 @@ class SnapshotTable:
                 snap = None
         if snap is None:
             return None
+        ms = bool(snap.get("schema_merge"))
         if self.bucket_key is not None and "buckets" in snap:
             bmap = self._bucket_map(snap)
             keys = sorted(bmap) if buckets is None else sorted(set(buckets) & set(bmap))
-            return self._read_paths([p for b in keys for p in bmap[b]])
-        if not snap["filesets"]:
+            out = self._read_paths([p for b in keys for p in bmap[b]], ms)
+        elif not snap["filesets"]:
             return None
-        return self._read_paths(list(snap["filesets"]))
+        else:
+            out = self._read_paths(list(snap["filesets"]), ms)
+        if out is not None and "table_schema" in snap:
+            # conform to the table schema: a bucket-pruned read touching only
+            # pre-evolution files must still surface the new columns (NULL)
+            out = self._conform(out, T.StructType.fromJson(snap["table_schema"]))
+        return out
 
     def read_matching(self, match_df: DataFrame, keys: list[str]) -> DataFrame | None:
         """Rows whose `keys` match a row of match_df — reads only the buckets
@@ -358,6 +431,9 @@ class SnapshotTable:
     def _append_once(self, df: DataFrame, partition_by: list[str] | None) -> str:
         prev = self.current_snapshot()
         base = prev["snapshot_id"] if prev else None
+        schema, widened = self._evolve_schema(prev, df)
+        df = self._conform(df, schema)
+        sinfo = (schema.jsonValue(), widened)
         if self.bucket_key is not None:
             part = self._effective_partition_by(prev, partition_by)
             fs, new_buckets = self._write_bucketed(df, part)
@@ -367,12 +443,13 @@ class SnapshotTable:
             filesets = (prev["filesets"] if prev else []) + [fs]
             return self._commit(
                 filesets, "append", {"added_filesets": 1}, bmap, part or [],
-                expected_parent=base,
+                expected_parent=base, schema_info=sinfo,
             )
         fs = self._write_fileset(df, partition_by)
         filesets = (prev["filesets"] if prev else []) + [fs]
         return self._commit(
-            filesets, "append", {"added_filesets": 1}, expected_parent=base
+            filesets, "append", {"added_filesets": 1}, expected_parent=base,
+            schema_info=sinfo,
         )
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> str:
@@ -384,15 +461,21 @@ class SnapshotTable:
         self, df: DataFrame, partition_by: list[str] | None,
         expected_parent: str | None,
     ) -> str:
+        # overwrite resets the table schema to the frame's (no old files
+        # survive, so there is nothing to evolve against)
+        sinfo = (df.schema.jsonValue(), False)
         if self.bucket_key is not None:
             part = self._effective_partition_by(self.current_snapshot(), partition_by)
             fs, buckets = self._write_bucketed(df, part)
             return self._commit(
                 [fs], "overwrite", {}, buckets, part or [],
-                expected_parent=expected_parent,
+                expected_parent=expected_parent, schema_info=sinfo,
             )
         fs = self._write_fileset(df, partition_by)
-        return self._commit([fs], "overwrite", {}, expected_parent=expected_parent)
+        return self._commit(
+            [fs], "overwrite", {}, expected_parent=expected_parent,
+            schema_info=sinfo,
+        )
 
     def merge(
         self,
@@ -441,6 +524,10 @@ class SnapshotTable:
         """
         cur_snap = self.current_snapshot()
         base = cur_snap["snapshot_id"] if cur_snap else None
+        schema, widened = self._evolve_schema(cur_snap, df)
+        sinfo = (schema.jsonValue(), widened)
+        df = self._conform(df, schema)
+        read_ms = bool((cur_snap or {}).get("schema_merge")) or widened
         if self.bucket_key is not None:
             if cur_snap is None or not self._bucket_map(cur_snap):
                 if resolve is not None:
@@ -458,7 +545,11 @@ class SnapshotTable:
                     aff |= self._affected_buckets(purge)
             bmap = self._bucket_map(cur_snap)
             touched = sorted(aff & set(bmap))
-            cur = self._read_paths([p for b in touched for p in bmap[b]])
+            cur = self._read_paths(
+                [p for b in touched for p in bmap[b]], read_ms
+            )
+            if cur is not None:
+                cur = self._conform(cur, schema)
             incoming = df
             if cur is not None:
                 if purge is not None:
@@ -488,10 +579,12 @@ class SnapshotTable:
                 {"keys": keys, "rewritten_buckets": len(aff),
                  "carried_buckets": len(new_bmap) - len(new_buckets)},
                 new_bmap, part or [],
-                expected_parent=base,
+                expected_parent=base, schema_info=sinfo,
             )
         # unbucketed: full-table copy-on-write (small tables only)
         cur = self.read(snapshot_id=base) if base else None
+        if cur is not None:
+            cur = self._conform(cur, schema)
         if cur is None:
             if resolve is not None:
                 df = resolve(None, df)
@@ -505,7 +598,10 @@ class SnapshotTable:
         kept = cur.join(df.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
         merged = kept.select(df.columns).unionByName(df)
         fs = self._write_fileset(merged, partition_by)
-        return self._commit([fs], "merge", {"keys": keys}, expected_parent=base)
+        return self._commit(
+            [fs], "merge", {"keys": keys}, expected_parent=base,
+            schema_info=sinfo,
+        )
 
     def delete_matching(self, match_df: DataFrame, keys: list[str]) -> str:
         """Delete rows whose `keys` match a row of match_df (anti-join — no
@@ -528,7 +624,14 @@ class SnapshotTable:
                     cur_snap["filesets"], "delete", {"keys": keys, "noop": True},
                     bmap, part or [], expected_parent=base,
                 )
-            cur = self._read_paths([p for b in touched for p in bmap[b]])
+            cur = self._read_paths(
+                [p for b in touched for p in bmap[b]],
+                bool(cur_snap.get("schema_merge")),
+            )
+            if "table_schema" in cur_snap:
+                cur = self._conform(
+                    cur, T.StructType.fromJson(cur_snap["table_schema"])
+                )
             remaining = cur.join(
                 match_df.dropDuplicates(keys), on=keys, how="left_anti"
             )
@@ -634,7 +737,11 @@ class SnapshotTable:
             path = os.path.join(self.root, "data", fs)
             subs = [d for d in os.listdir(path) if d.startswith("_bucket=")]
             rel.extend(f"{fs}/{d}" for d in subs) if subs else rel.append(fs)
-        return self._read_paths(rel)
+        cur = self.current_snapshot() or {}
+        out = self._read_paths(rel, bool(cur.get("schema_merge")))
+        if out is not None and "table_schema" in cur:
+            out = self._conform(out, T.StructType.fromJson(cur["table_schema"]))
+        return out
 
     def expire_snapshots(self, keep_last: int = 10) -> dict:
         """Manifest + data hygiene: retain the last `keep_last` snapshots of

@@ -116,3 +116,19 @@ def test_serve_protocol_one_session(wh, spark):
     assert by_id[6]["ok"] and by_id[6]["rows"]
     # the malformed line produced an ok=false response with id=None
     assert any(not r["ok"] and r.get("id") is None for r in resp)
+
+
+def test_cli_expire_keeps_warehouse_readable(wh, capsys, spark):
+    """`expire` prunes snapshot history on every warehouse table while the
+    current state stays fully readable."""
+    warehouse, tdir = wh
+    # a couple of extra commits so there is history to prune
+    _run(capsys, [
+        "--warehouse", warehouse, "index", "--transcripts", tdir, "--full",
+    ])
+    out = _run(capsys, [
+        "--warehouse", warehouse, "expire", "--keep-last", "1",
+    ])
+    assert out and "triples" in out[0]
+    status = _run(capsys, ["--warehouse", warehouse, "query", "index_status"])
+    assert {r["pred"] for r in status} >= {"calls", "contains"}

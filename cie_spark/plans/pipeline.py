@@ -394,11 +394,6 @@ class KGPipeline:
         started = _now()
         ents = mentions.filter(F.col("kind") == "entity")
         linkmap = self._link_with_dictionary(ents.select("surface")).cache()
-        # count only when the dictionary advanced (new surfaces): on the
-        # pure-reuse path the count is observability-only and not worth a
-        # driver-serialized job — the broadcast build below materializes
-        # the linkmap anyway
-        n_surfaces = linkmap.count() if self._pending_links is not None else None
         linked_ents = ents.join(
             F.broadcast(linkmap.select("surface", "entity_id", "link_tier")),
             on="surface", how="left",
@@ -410,14 +405,24 @@ class KGPipeline:
         )
         from pyspark.sql import Observation
 
-        # linked-row count rides the triples action below via an Observation
-        # (linking is row-preserving, so one fewer driver-serialized job —
-        # each saved job is fixed latency that would cap scaling efficiency)
+        # linked-row count AND the distinct-surface lineage stat ride the
+        # triples action below via one Observation (linking is
+        # row-preserving, so two fewer driver-serialized jobs — the former
+        # linkmap.count() was one full driver job round per run; each saved
+        # job is fixed latency that would cap scaling efficiency).
+        # approx_count_distinct because observe() forbids exact distinct
+        # aggregates; the stat is observability-only.
         linked_obs = Observation("linked_rows")
         linked = (
             linked_ents.select(*tool_rows.columns)
             .unionByName(tool_rows)
-            .observe(linked_obs, F.count(F.lit(1)).alias("rows"))
+            .observe(
+                linked_obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.approx_count_distinct(
+                    F.when(F.col("kind") == "entity", F.col("surface"))
+                ).alias("surfaces"),
+            )
             .cache()
         )
         link_finished = _now()
@@ -432,6 +437,7 @@ class KGPipeline:
         trips = trips_checked.cache()
         n_triples = trips.count()
         n_linked = int(linked_obs.get["rows"])
+        n_surfaces = int(linked_obs.get["surfaces"])
         n_mentions = n_linked  # linking is row-preserving
         lineage_rows.append(
             dict(stage="extract", rows_in=rows_in, rows_out=n_mentions,
@@ -439,10 +445,8 @@ class KGPipeline:
         )
         lineage_rows.append(
             dict(stage="link+canon", rows_in=n_mentions, rows_out=n_linked,
-                 partition_key=(
-                     f"surfaces={n_surfaces}" if n_surfaces is not None
-                     else "surfaces=reused"
-                 ),
+                 # '~': HLL-approximate (rode the Observation, no extra job)
+                 partition_key=f"surfaces~{n_surfaces}",
                  started=started, finished=link_finished)
         )
         started = trips_started
@@ -549,15 +553,30 @@ class KGPipeline:
                  started=started, finished=_now(), snapshot_id=snap_id)
         )
 
-        # 7. checkpoint processed conversations
+        # 7. checkpoint processed conversations — overlapped with the
+        # lineage append: both are small independent commits that only need
+        # to finish before return, so their driver job rounds run from two
+        # threads (two of the four formerly-sequential end-of-run commits;
+        # serial commit latency is exactly what caps N->4N scaling). The
+        # checkpoint still starts strictly AFTER the edge/vertex merges:
+        # a conversation must never be marked processed before its triples
+        # are durably committed (crash consistency). Its lineage row is
+        # recorded in-flight (finished=NULL) — the processed table's own
+        # snapshot carries the authoritative commit time.
         started = _now()
-        self.processed.merge(delta.select("conv_id", "conv_hash", "n_turns"), keys=["conv_id"])
         lineage_rows.append(
             dict(stage="checkpoint", rows_in=n_delta, rows_out=n_delta,
-                 started=started, finished=_now())
+                 started=started, finished=None)
         )
-
-        self._record(run_id, lineage_rows)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            ck_fut = pool.submit(
+                self.processed.merge,
+                delta.select("conv_id", "conv_hash", "n_turns"),
+                ["conv_id"],
+            )
+            rec_fut = pool.submit(self._record, run_id, lineage_rows)
+            ck_fut.result()
+            rec_fut.result()
         secs = time.time() - t0
         for df in (delta, mentions, linkmap, linked, trips):
             df.unpersist()

@@ -86,6 +86,50 @@ def _jaccard_udf():
 # 10^2-entry vocabulary, silently quadratic at 10^6
 AUTO_LSH_DICT_SIZE = 10_000
 
+# distinct-surface sets at or below this size take the driver-local linking
+# path: one collect (bounded by the cap) replaces the ~10 tiny driver job
+# rounds of the distributed tier DAG (persist, broadcast builds, window,
+# eager checkpoint). Those rounds are pure per-leg serial cost — the profile
+# that motivated this showed ~13 s of the link stage not scaling 2->8 cores
+# while the actual fuzzy work was 48 rows. 64k surfaces x ~32 B collect
+# ~2 MB — driver-safe; bigger vocabularies stay on the distributed tier.
+LOCAL_VOCAB_CAP = 65_536
+
+
+def link_rows_local(
+    surfaces: list[str], dic: dict[str, str]
+) -> list[tuple[str, str, str, str]]:
+    """Driver-local rendering of the 3-tier linker over a distinct-surface
+    list: same frozen spec functions (spec.norm/shingles/jaccard), same
+    tie-breaks (best Jaccard, then lexicographic entity_id), same stub ids —
+    bit-identical to the distributed tiers (pinned by
+    tests/test_link.py::test_local_path_agrees_with_distributed)."""
+    import hashlib
+
+    out = []
+    dic_items = sorted(dic.items())
+    dic_shingles = [(spec.shingles(k), k, v) for k, v in dic_items]
+    for s in surfaces:
+        n = spec.norm(s)
+        hit = dic.get(n)
+        if hit is not None:
+            out.append((s, n, hit, "dict"))
+            continue
+        sh = spec.shingles(n)
+        best: tuple[float, str] | None = None
+        for dsh, _dn, eid in dic_shingles:
+            j = spec.jaccard(sh, dsh)
+            if j >= spec.JACCARD_LINK_THRESHOLD and (
+                best is None or j > best[0] or (j == best[0] and eid < best[1])
+            ):
+                best = (j, eid)
+        if best is not None:
+            out.append((s, n, best[1], "fuzzy"))
+        else:
+            stub = "ent:" + hashlib.sha256(n.encode()).hexdigest()[:16]
+            out.append((s, n, stub, "stub"))
+    return out
+
 
 def link_surfaces(
     spark: SparkSession,
@@ -94,6 +138,7 @@ def link_surfaces(
     use_lsh: bool | None = None,
     dictionary: DataFrame | None = None,
     dictionary_size: int | None = None,
+    local: bool | None = None,
 ) -> DataFrame:
     """(surface) -> (surface, surface_norm, entity_id, link_tier).
 
@@ -128,6 +173,35 @@ def link_surfaces(
         .dropDuplicates(["surface"])
         .withColumn("surface_norm", CF.norm_col("surface"))
     )
+
+    # driver-local fast path (see LOCAL_VOCAB_CAP): ONE action collects the
+    # distinct surfaces (the unavoidable parallel scan of the corpus); the
+    # vocabulary-bounded tiers then run in-process instead of as ~10 tiny
+    # Spark jobs whose fixed scheduling latency is per-leg serial cost. The
+    # reference resolves calls from an in-memory index the same way
+    # (resolver.go:83-176). `local=False` forces the distributed tiers
+    # (bigger-than-cap vocabularies take them automatically).
+    if local is None:
+        local = not use_lsh
+    if local:
+        rows = distinct.select("surface").limit(LOCAL_VOCAB_CAP + 1).collect()
+        if len(rows) <= LOCAL_VOCAB_CAP:
+            if dictionary is None:
+                dic_map = dict(spec.SURFACE_TO_CANONICAL)
+            else:
+                dic_map = {
+                    r["surface_norm"]: r["entity_id"]
+                    for r in dic.select("surface_norm", "entity_id").collect()
+                }
+            linked = link_rows_local(sorted(r[0] for r in rows), dic_map)
+            return spark.createDataFrame(
+                linked,
+                "surface string, surface_norm string, "
+                "entity_id string, link_tier string",
+            )
+        # vocabulary exceeded the cap: fall through to the distributed
+        # tiers (the upstream is persisted by callers, so the re-scan of
+        # the distinct shuffle is the only repeated work)
 
     # tier 1: exact dictionary broadcast join. The distinct-surface frame is
     # vocabulary-bounded (not corpus-bounded) and feeds several tiers below —

@@ -354,16 +354,30 @@ class KGPipeline:
         # (conv-hash delta + extraction); caching ~100 TB of text trades two
         # columnar scans for GC/storage pressure that caps throughput.
         started = _now()
-        if resume == "force_reprocess":
-            delta = self._conv_hashes(transcripts).cache()
-        else:
-            delta = self.delta_convs(transcripts).cache()
-        # one action: delta count + affected-turn total together
-        n_delta, rows_in = delta.agg(
+        source_started = started
+        agg_fut = None
+        _agg = lambda: delta.agg(  # noqa: E731 — one action: count + turn total
             F.count("*"), F.coalesce(F.sum("n_turns"), F.lit(0))
         ).first()
-        n_delta, rows_in = int(n_delta), int(rows_in)
-        if resume != "force_reprocess":
+        if resume == "force_reprocess":
+            delta = self._conv_hashes(transcripts).cache()
+            # full path: nothing before the processed checkpoint depends on
+            # the conv-hash counts (scoped = transcripts), so the hash job
+            # runs CONCURRENTLY with the extract+link+triples action instead
+            # of serially before it — its planning/codegen/scheduling rounds
+            # overlap real work (profiled ~6 s of the source stage not
+            # scaling 2->8 cores). Resolved after the triples count, before
+            # anything reads the counts.
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            self.__agg_pool = _TPE(max_workers=1)  # keep a ref until result
+            agg_fut = self.__agg_pool.submit(lambda: (_agg(), _now()))
+            scoped = transcripts
+            n_delta = rows_in = None
+        else:
+            delta = self.delta_convs(transcripts).cache()
+            n_delta, rows_in = _agg()
+            n_delta, rows_in = int(n_delta), int(rows_in)
             scoped = transcripts.join(
                 delta.select("conv_id").hint("broadcast")
                 if n_delta < 100_000
@@ -371,17 +385,16 @@ class KGPipeline:
                 on="conv_id",
                 how="left_semi",
             )
-        else:
-            scoped = transcripts
-        lineage_rows.append(
-            dict(stage="source", rows_in=rows_in, rows_out=rows_in,
-                 partition_key=f"convs={n_delta}", started=started, finished=_now())
-        )
-        if rows_in == 0:
-            delta.unpersist()
-            self._record(run_id, lineage_rows)
-            return {"run_id": run_id, "rows_in": 0, "triples": 0,
-                    "seconds": time.time() - t0, "skipped": True}
+            lineage_rows.append(
+                dict(stage="source", rows_in=rows_in, rows_out=rows_in,
+                     partition_key=f"convs={n_delta}", started=started,
+                     finished=_now())
+            )
+            if rows_in == 0:
+                delta.unpersist()
+                self._record(run_id, lineage_rows)
+                return {"run_id": run_id, "rows_in": 0, "triples": 0,
+                        "seconds": time.time() - t0, "skipped": True}
 
         # 2. extract (no separate count: the first linking action
         # materializes this cache, and n_mentions == n_linked by
@@ -436,6 +449,17 @@ class KGPipeline:
         )
         trips = trips_checked.cache()
         n_triples = trips.count()
+        if agg_fut is not None:
+            # the overlapped conv-hash job: by now the big action is done,
+            # so this is either already resolved or finishing its tail
+            row, src_finished = agg_fut.result()
+            self.__agg_pool.shutdown(wait=False)
+            n_delta, rows_in = int(row[0]), int(row[1])
+            lineage_rows.insert(0, dict(
+                stage="source", rows_in=rows_in, rows_out=rows_in,
+                partition_key=f"convs={n_delta}", started=source_started,
+                finished=src_finished,
+            ))
         n_linked = int(linked_obs.get["rows"])
         n_surfaces = int(linked_obs.get["surfaces"])
         n_mentions = n_linked  # linking is row-preserving

@@ -92,3 +92,43 @@ def test_oracle_link_agrees_with_spark(spark):
     got = _link(spark, surfaces)
     for s in surfaces:
         assert got[s][0] == oracle.link_surface(s), s
+
+
+def test_local_path_agrees_with_distributed(spark):
+    """The driver-local linker (link_rows_local) must be bit-identical to
+    the distributed tiers on every tier: dict hit, fuzzy (incl. the
+    (jaccard DESC, entity_id ASC) tie-break), and OOV stub."""
+    import random
+
+    from cie_spark.operators.link import link_surfaces
+
+    rng = random.Random(7)
+    words = [
+        "PostgreSQL", "PostgreSQL 14", "apache_kafka_broker", "FrobnicatorX",
+        "quantum-widget", "k8s", "duck-db", "ES cluster", "kafka!",
+    ] + [
+        "".join(rng.choice("abcdefgh -_") for _ in range(rng.randint(2, 14)))
+        for _ in range(40)
+    ]
+    loc = _link(spark, words, local=True)
+    dist = _link(spark, words, local=False, use_lsh=False)
+    assert loc == dist
+
+    # adversarial tie: both dictionary entries score jaccard 0.5 against the
+    # surface; the winner must be the lexicographically smaller entity_id
+    dic = spark.createDataFrame(
+        [("abcde", "ent:zz", "zz"), ("abcdf", "ent:aa", "aa")],
+        "surface_norm string, entity_id string, canonical_name string",
+    )
+    s2 = spark.createDataFrame([("abcdg",)], "surface string")
+    l2 = {
+        r.surface: (r.entity_id, r.link_tier)
+        for r in link_surfaces(spark, s2, dictionary=dic, local=True).collect()
+    }
+    d2 = {
+        r.surface: (r.entity_id, r.link_tier)
+        for r in link_surfaces(
+            spark, s2, dictionary=dic, local=False, use_lsh=False
+        ).collect()
+    }
+    assert l2 == d2 == {"abcdg": ("ent:aa", "fuzzy")}

@@ -75,11 +75,20 @@ class SnapshotTable:
         bucket_key: str | None = None,
         n_buckets: int = 128,
         write_partitions: int | None = None,
+        stats_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.root = root
         self.bucket_key = bucket_key
         self.n_buckets = n_buckets
+        # manifest-level column bounds (Iceberg manifest stats analog):
+        # for each named column, the commit records per-data-path [min, max]
+        # harvested from the parquet FOOTERS the write already produced —
+        # a driver-side metadata walk, no extra Spark job on the write path.
+        # read(prune={col: (lo, hi)}) then skips whole paths whose range
+        # cannot intersect, closing the "ts-range query scans every live
+        # file" gap without waiting for row-group-level footer skipping.
+        self.stats_cols = stats_cols or []
         # unbucketed writes: None -> spread across shuffle-partition count
         # (throughput tables); small metadata tables (lineage) set 1 so a
         # 6-row append is one task + one file, not 32 empty ones
@@ -137,6 +146,103 @@ class SnapshotTable:
             fcntl.flock(fd, fcntl.LOCK_UN)
             os.close(fd)
 
+    # -- manifest column stats (Iceberg manifest min/max analog) ------------
+
+    @staticmethod
+    def _stat_norm(v):
+        """Normalize a footer statistic / prune bound to a JSON-comparable
+        scalar: numbers stay numbers, timestamps become epoch seconds
+        (naive = UTC, matching how the pipeline writes them), bytes decode,
+        anything else is dropped (no stats recorded -> never pruned)."""
+        import datetime
+
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, datetime.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=datetime.timezone.utc)
+            return v.timestamp()
+        if isinstance(v, (int, float)):
+            return v
+        if isinstance(v, bytes):
+            return v.decode("utf-8", "replace")
+        if isinstance(v, str):
+            return v
+        return None
+
+    def _harvest_stats(self, rel_paths: list[str]) -> dict:
+        """Per-data-path [min, max] for each stats col, read from the
+        parquet FOOTERS the write just produced (pyarrow metadata only —
+        O(files) driver-side, no data scan, no Spark job). Path granularity
+        matches the manifest's read units (plain fileset dir, or
+        fs/_bucket=K dir), so read(prune=...) can drop whole paths."""
+        if not self.stats_cols:
+            return {}
+        import pyarrow.parquet as pq
+
+        want = set(self.stats_cols)
+        out: dict[str, dict] = {}
+        for rel in rel_paths:
+            base = os.path.join(self.root, "data", rel)
+            agg: dict[str, list] = {}
+            for dirpath, _dirs, files in os.walk(base):
+                for fn in files:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    md = pq.ParquetFile(os.path.join(dirpath, fn)).metadata
+                    for rg in range(md.num_row_groups):
+                        row = md.row_group(rg)
+                        for ci in range(row.num_columns):
+                            col = row.column(ci)
+                            name = col.path_in_schema
+                            if name not in want:
+                                continue
+                            st = col.statistics
+                            if st is None or not st.has_min_max:
+                                continue
+                            lo = self._stat_norm(st.min)
+                            hi = self._stat_norm(st.max)
+                            if lo is None or hi is None:
+                                continue
+                            cur = agg.get(name)
+                            if cur is None:
+                                agg[name] = [lo, hi]
+                            else:
+                                cur[0] = min(cur[0], lo)
+                                cur[1] = max(cur[1], hi)
+            if agg:
+                out[rel] = agg
+        return out
+
+    def _prune_paths(
+        self, rel_paths: list[str], stats: dict, prune: dict | None
+    ) -> list[str]:
+        """Drop paths whose recorded [min, max] cannot intersect the prune
+        bounds. Paths without stats are always kept (safe default)."""
+        if not prune:
+            return rel_paths
+        bounds = {
+            c: (self._stat_norm(lo), self._stat_norm(hi))
+            for c, (lo, hi) in prune.items()
+        }
+        kept = []
+        for p in rel_paths:
+            ps = stats.get(p)
+            keep = True
+            if ps:
+                for c, (lo, hi) in bounds.items():
+                    cs = ps.get(c)
+                    if cs is None:
+                        continue
+                    if (hi is not None and hi < cs[0]) or (
+                        lo is not None and lo > cs[1]
+                    ):
+                        keep = False
+                        break
+            if keep:
+                kept.append(p)
+        return kept
+
     def _commit(
         self,
         filesets: list[str],
@@ -146,6 +252,7 @@ class SnapshotTable:
         partition_by: list[str] | None = None,
         expected_parent: str | None = _UNCHECKED,
         schema_info: tuple[dict, bool] | None = None,
+        new_stats: dict | None = None,
     ) -> str:
         """Atomic snapshot commit with optional compare-and-swap.
 
@@ -160,7 +267,7 @@ class SnapshotTable:
         with self._commit_lock():
             return self._commit_locked(
                 filesets, op, summary, buckets, partition_by, expected_parent,
-                schema_info,
+                schema_info, new_stats,
             )
 
     def _commit_cleaning(self, new_filesets: list[str], *args, **kwargs) -> str:
@@ -180,7 +287,7 @@ class SnapshotTable:
 
     def _commit_locked(
         self, filesets, op, summary, buckets, partition_by, expected_parent,
-        schema_info=None,
+        schema_info=None, new_stats=None,
     ) -> str:
         prev = self.current_snapshot()
         if expected_parent is not _UNCHECKED:
@@ -205,6 +312,23 @@ class SnapshotTable:
             manifest["buckets"] = {str(k): v for k, v in sorted(buckets.items())}
         if partition_by is not None:
             manifest["partition_by"] = partition_by
+        if self.stats_cols:
+            # stats cover exactly the snapshot's read units: new paths get
+            # their freshly harvested bounds, carried paths inherit the
+            # parent's; dropped paths fall away
+            if buckets is not None:
+                units = {p for ps in buckets.values() for p in ps}
+            else:
+                units = set(filesets)
+            prev_stats = (prev or {}).get("stats", {})
+            stats = {p: prev_stats[p] for p in units if p in prev_stats}
+            # paths not inherited from the parent are the ones this commit
+            # wrote — harvest their footer bounds now (driver-side, O(files))
+            stats.update(
+                new_stats
+                or self._harvest_stats([p for p in units if p not in stats])
+            )
+            manifest["stats"] = stats
         if schema_info is not None:
             manifest["table_schema"] = schema_info[0]
             # an overwrite replaces every data file, so no mixed-schema
@@ -399,8 +523,15 @@ class SnapshotTable:
         return out
 
     def read(
-        self, snapshot_id: str | None = None, buckets: list[int] | None = None
+        self, snapshot_id: str | None = None, buckets: list[int] | None = None,
+        prune: dict | None = None,
     ) -> DataFrame | None:
+        """`prune`: {col: (lo, hi)} range predicates resolved against the
+        manifest's per-path column bounds (stats_cols tables only) — whole
+        data paths whose [min, max] cannot intersect are skipped before the
+        scan, the manifest-level analog of Iceberg's min/max file pruning.
+        Bounds are inclusive; pass None for an open end. The caller still
+        applies the row-level filter — pruning only shrinks the path list."""
         if snapshot_id is None:
             snap = self.current_snapshot()
         else:
@@ -411,14 +542,20 @@ class SnapshotTable:
         if snap is None:
             return None
         ms = bool(snap.get("schema_merge"))
+        stats = snap.get("stats", {})
         if self.bucket_key is not None and "buckets" in snap:
             bmap = self._bucket_map(snap)
             keys = sorted(bmap) if buckets is None else sorted(set(buckets) & set(bmap))
-            out = self._read_paths([p for b in keys for p in bmap[b]], ms)
+            paths = self._prune_paths(
+                [p for b in keys for p in bmap[b]], stats, prune
+            )
+            out = self._read_paths(paths, ms)
         elif not snap["filesets"]:
             return None
         else:
-            out = self._read_paths(list(snap["filesets"]), ms)
+            out = self._read_paths(
+                self._prune_paths(list(snap["filesets"]), stats, prune), ms
+            )
         if out is not None and "table_schema" in snap:
             # conform to the table schema: a bucket-pruned read touching only
             # pre-evolution files must still surface the new columns (NULL)

@@ -365,3 +365,46 @@ def test_legacy_manifest_without_table_schema_widens(spark, tmp_path):
     assert t.current_snapshot()["schema_merge"] is True
     got = {r.k: (r.v, r.w) for r in t.read().collect()}
     assert got == {"a": (1, None), "b": (2, "x")}
+
+
+def test_manifest_stats_pruning(spark, tmp_path):
+    """Manifest-level column bounds (Iceberg min/max manifest stats analog):
+    commits on a stats_cols table record per-path [min, max] from the
+    parquet footers; read(prune=...) skips whole paths that cannot
+    intersect, and the surviving rows are unchanged by the row filter."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), bucket_key="k", n_buckets=2,
+        stats_cols=["v"],
+    )
+    # three appends with disjoint v-ranges -> three path generations
+    t.append(_df(spark, [(f"a{i}", i) for i in range(0, 10)]))
+    t.append(_df(spark, [(f"b{i}", i) for i in range(100, 110)]))
+    t.append(_df(spark, [(f"c{i}", i) for i in range(200, 210)]))
+    snap = t.current_snapshot()
+    stats = snap.get("stats", {})
+    all_paths = [p for ps in t._bucket_map(snap).values() for p in ps]
+    assert stats and set(stats) == set(all_paths)
+    # pruning to the middle range keeps only the middle generation's paths
+    kept = t._prune_paths(all_paths, stats, {"v": (100, 109)})
+    assert 0 < len(kept) < len(all_paths)
+    got = sorted(
+        r.v for r in t.read(prune={"v": (100, 109)})
+        .filter("v BETWEEN 100 AND 109").collect()
+    )
+    assert got == list(range(100, 110))
+    # open-ended bound; paths without stats are kept (safe default)
+    hi = t.read(prune={"v": (200, None)}).filter("v >= 200")
+    assert sorted(r.v for r in hi.collect()) == list(range(200, 210))
+    # a merge carries forward untouched paths' stats and harvests new ones
+    t.merge(_df(spark, [("a1", 5000)]), keys=["k"])
+    snap2 = t.current_snapshot()
+    paths2 = [p for ps in t._bucket_map(snap2).values() for p in ps]
+    assert set(snap2["stats"]) == set(paths2)
+    full = sorted(r.v for r in t.read().collect())
+    assert 5000 in full and len(full) == 30
+
+    # timestamp normalization: naive datetimes are treated as UTC epochs
+    import datetime
+
+    n = SnapshotTable._stat_norm(datetime.datetime(2026, 1, 1))
+    assert abs(n - 1767225600.0) < 1

@@ -67,7 +67,12 @@ class KGPipeline:
         # bucketed by the delete/upsert key: an incremental run rewrites only
         # the buckets its changed conv_ids hash to
         self.triples = SnapshotTable(
-            spark, f"{warehouse}/triples", bucket_key="conv_id", n_buckets=n_buckets
+            spark, f"{warehouse}/triples", bucket_key="conv_id",
+            n_buckets=n_buckets,
+            # manifest min/max on provenance time: ts-range queries
+            # (entity_history since=..., find_introduction windows) prune
+            # whole bucket paths instead of scanning every live file
+            stats_cols=["ts"],
         )
         # vocabulary-bounded vertex table: fewer buckets, same mechanics
         self.entities = SnapshotTable(

@@ -73,6 +73,25 @@ def minhash_band_cols(norm_surface: Column, *, bands: int | None = None,
     return out
 
 
+def row_lane_cols() -> list[Column]:
+    """Two independent xxhash64 lanes over a transcript row's content —
+    the per-row half of the constant-space conversation hash. ONE shared
+    rendering (used by the incremental hash-delta pass AND the fused
+    full-run extraction pass) so a conv_hash stored by either path compares
+    equal when the data is unchanged."""
+    content = F.concat_ws(
+        "\x1f",
+        F.col("turn_idx").cast("string"),
+        F.coalesce(F.col("role"), F.lit("")),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.coalesce(F.col("tool"), F.lit("")),
+    )
+    return [
+        F.xxhash64(content).alias("_h1"),
+        F.xxhash64(content, F.lit(1)).alias("_h2"),
+    ]
+
+
 EMBED_DIM = 64
 
 

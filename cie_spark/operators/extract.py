@@ -172,18 +172,64 @@ def _extract_batch(pdf: pd.DataFrame, prose: bool) -> pd.DataFrame:
     )
 
 
-def extract_mentions(transcripts: DataFrame, *, prose: bool = True) -> DataFrame:
+def _turn_hash_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One kind='_turn' row per input row carrying the JVM-computed content
+    lanes (_h1/_h2) — lets the full pipeline derive the conversation hash
+    delta from the SAME source scan that feeds extraction instead of a
+    second pass over the (100-TB) text."""
+    n = len(pdf)
+    return pd.DataFrame(
+        {
+            "conv_id": pdf["conv_id"].reset_index(drop=True),
+            "turn_idx": pdf["turn_idx"].reset_index(drop=True).astype("int32"),
+            "kind": "_turn",
+            "surface": "",
+            "tier": "",
+            "pos": np.zeros(n, dtype="int32"),
+            "ts": pdf["ts"].reset_index(drop=True),
+            "h1": pdf["_h1"].reset_index(drop=True).astype("Int64"),
+            "h2": pdf["_h2"].reset_index(drop=True).astype("Int64"),
+        }
+    )
+
+
+def extract_mentions(
+    transcripts: DataFrame, *, prose: bool = True, turn_rows: bool = False
+) -> DataFrame:
     """transcripts -> mentions DataFrame (schema.MENTIONS).
 
     `prose=False` restricts to the SQL-expressible tiers (column + marker),
     used when comparing against ANSI-SQL oracles. The `ts` provenance column
     rides along so no downstream stage re-joins the transcript table.
+
+    `turn_rows=True` (schema.MENTIONS_WITH_HASH): additionally emits one
+    `kind='_turn'` row per input row with two xxhash64 content lanes
+    computed JVM-side during the same scan — the full pipeline aggregates
+    them into the conversation hash delta, so on full runs the source is
+    scanned EXACTLY once (hash pass fused into extraction). Mention rows
+    carry NULL lanes; downstream stages filter on kind and never see the
+    _turn rows.
     """
 
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield _extract_batch(pdf, prose)
+    if not turn_rows:
 
-    return transcripts.select(*cols).mapInPandas(gen, schema=schema.MENTIONS)
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield _extract_batch(pdf, prose)
+
+        return transcripts.select(*cols).mapInPandas(gen, schema=schema.MENTIONS)
+
+    from cie_spark.functions import row_lane_cols
+
+    def gen_h(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = _extract_batch(pdf, prose)
+            m["h1"] = pd.array([None] * len(m), dtype="Int64")
+            m["h2"] = pd.array([None] * len(m), dtype="Int64")
+            yield pd.concat([m, _turn_hash_frame(pdf)], ignore_index=True)
+
+    return transcripts.select(*cols, *row_lane_cols()).mapInPandas(
+        gen_h, schema=schema.MENTIONS_WITH_HASH
+    )

@@ -151,18 +151,16 @@ class KGPipeline:
         partition-order independent by commutativity. A spoof needs a
         simultaneous collision in all four lanes + the row count — far
         beyond what change detection requires. Delta semantics unchanged."""
-        content = F.concat_ws(
-            "\x1f",
-            F.col("turn_idx").cast("string"),
-            F.coalesce(F.col("role"), F.lit("")),
-            F.coalesce(F.col("text"), F.lit("")),
-            F.coalesce(F.col("tool"), F.lit("")),
-        )
-        hashed = transcripts.select(
-            "conv_id",
-            F.xxhash64(content).alias("_h1"),
-            F.xxhash64(content, F.lit(1)).alias("_h2"),
-        )
+        from cie_spark.functions import row_lane_cols
+
+        hashed = transcripts.select("conv_id", *row_lane_cols())
+        return self._lane_agg(hashed)
+
+    @staticmethod
+    def _lane_agg(hashed: DataFrame) -> DataFrame:
+        """(conv_id, _h1, _h2) per row -> (conv_id, conv_hash, n_turns).
+        Shared by the incremental hash pass and the fused full-run path
+        (extract.py turn_rows), so both store comparable hashes."""
         # decimal(38,0) sums cannot overflow below ~10^19 turns per conv
         return hashed.groupBy("conv_id").agg(
             F.sha2(
@@ -360,23 +358,17 @@ class KGPipeline:
         # columnar scans for GC/storage pressure that caps throughput.
         started = _now()
         source_started = started
-        agg_fut = None
         _agg = lambda: delta.agg(  # noqa: E731 — one action: count + turn total
             F.count("*"), F.coalesce(F.sum("n_turns"), F.lit(0))
         ).first()
         if resume == "force_reprocess":
-            delta = self._conv_hashes(transcripts).cache()
-            # full path: nothing before the processed checkpoint depends on
-            # the conv-hash counts (scoped = transcripts), so the hash job
-            # runs CONCURRENTLY with the extract+link+triples action instead
-            # of serially before it — its planning/codegen/scheduling rounds
-            # overlap real work (profiled ~6 s of the source stage not
-            # scaling 2->8 cores). Resolved after the triples count, before
-            # anything reads the counts.
-            from concurrent.futures import ThreadPoolExecutor as _TPE
-
-            self.__agg_pool = _TPE(max_workers=1)  # keep a ref until result
-            agg_fut = self.__agg_pool.submit(lambda: (_agg(), _now()))
+            # full path: the conversation-hash pass is FUSED into the
+            # extraction scan (extract.py turn_rows) — the source is read
+            # exactly once; `delta` is derived from the mentions cache after
+            # the triples action materializes it. (Incremental runs keep the
+            # separate JVM hash pass: there the whole corpus must be hashed
+            # to find the usually-tiny delta before extracting it.)
+            delta = None
             scoped = transcripts
             n_delta = rows_in = None
         else:
@@ -405,7 +397,9 @@ class KGPipeline:
         # materializes this cache, and n_mentions == n_linked by
         # construction — linking is row-preserving)
         started = _now()
-        mentions = extract.extract_mentions(scoped, prose=prose).cache()
+        mentions = extract.extract_mentions(
+            scoped, prose=prose, turn_rows=(delta is None)
+        ).cache()
         extract_started = started
 
         # 3. link (+ 4. canon on the small distinct-surface link map)
@@ -454,16 +448,23 @@ class KGPipeline:
         )
         trips = trips_checked.cache()
         n_triples = trips.count()
-        if agg_fut is not None:
-            # the overlapped conv-hash job: by now the big action is done,
-            # so this is either already resolved or finishing its tail
-            row, src_finished = agg_fut.result()
-            self.__agg_pool.shutdown(wait=False)
+        if delta is None:
+            # fused path: derive the hash delta from the _turn lane rows the
+            # extraction scan emitted — a cache-read aggregation over narrow
+            # rows, not a second pass over the source text
+            delta = self._lane_agg(
+                mentions.filter(F.col("kind") == "_turn").select(
+                    "conv_id",
+                    F.col("h1").alias("_h1"),
+                    F.col("h2").alias("_h2"),
+                )
+            ).cache()
+            row = _agg()
             n_delta, rows_in = int(row[0]), int(row[1])
             lineage_rows.insert(0, dict(
                 stage="source", rows_in=rows_in, rows_out=rows_in,
                 partition_key=f"convs={n_delta}", started=source_started,
-                finished=src_finished,
+                finished=_now(),
             ))
         n_linked = int(linked_obs.get["rows"])
         n_surfaces = int(linked_obs.get["surfaces"])

@@ -35,6 +35,17 @@ MENTIONS = T.StructType(
     ]
 )
 
+# MENTIONS plus the per-turn content-hash lanes: used when the full
+# pipeline fuses the conversation-hash pass into the extraction scan
+# (kind='_turn' rows carry the JVM-computed lanes; mention rows carry NULLs)
+MENTIONS_WITH_HASH = T.StructType(
+    list(MENTIONS.fields)
+    + [
+        T.StructField("h1", T.LongType(), True),
+        T.StructField("h2", T.LongType(), True),
+    ]
+)
+
 # vertex table (analog of cie_function/cie_type, schema.go:194-252)
 ENTITIES = T.StructType(
     [

@@ -68,3 +68,19 @@ def test_resume_is_idempotent(spark, tmp_path):
     s2 = _triple_set(p)
     assert s1 == s2
     t.unpersist()
+
+
+def test_fused_turn_hash_equals_jvm_hash_pass(spark, tmp_path):
+    """The full path derives conv hashes from the _turn lanes fused into the
+    extraction scan; an incremental run recomputes them with the separate
+    JVM pass — both must store bit-equal hashes or every re-run would
+    reprocess everything."""
+    from cie_spark.plans.pipeline import KGPipeline
+    from cie_spark.sources.gen import generate_transcripts
+
+    t = generate_transcripts(spark, n_convs=8, avg_turns=6, seed=11)
+    p = KGPipeline(spark, str(tmp_path / "wh"), n_buckets=8)
+    p.run(t, incremental=False)
+    stored = {r.conv_id: r.conv_hash for r in p.processed.read().collect()}
+    direct = {r.conv_id: r.conv_hash for r in p._conv_hashes(t).collect()}
+    assert stored == direct and len(stored) == 8

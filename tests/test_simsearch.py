@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from cie_spark.operators import simsearch
 
@@ -105,3 +106,46 @@ def test_near_dup_banded_recall_on_planted_pairs(spark):
     assert banded <= exact  # exact verify => precision 1.0
     recall = len(banded & exact) / len(exact)
     assert recall >= 0.9, f"banded recall {recall:.2f} < 0.9"
+
+
+def test_hyperplane_sig_auto_matches_explicit_planes(spark):
+    """_hyperplane_sig_auto regenerates make_planes(dim, n, seed) inside the
+    UDF — must be bit-identical to the explicit-planes signature (the
+    emb_near_dup oracle inlines those same planes as SQL literals)."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = {
+        r.vec_id: r.s
+        for r in df.select(
+            "vec_id",
+            simsearch._hyperplane_sig_auto(F.col("embedding"), 12, 42).alias("s"),
+        ).collect()
+    }
+    planes = simsearch.make_planes(16, 12, 42)
+    b = {
+        r.vec_id: r.s
+        for r in df.select(
+            "vec_id",
+            simsearch._hyperplane_sig(F.col("embedding"), planes).alias("s"),
+        ).collect()
+    }
+    assert a == b
+
+
+def test_cosine_near_dup_pairs_plan_is_lazy(spark):
+    """The fixed-overhead diet (r4 verdict wrong #2): building the pair
+    frame must launch NO Spark job — no dimension probe, no census action,
+    no eager checkpoint. (The single action is the caller's.)"""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    _ = simsearch.cosine_near_dup_pairs(df, threshold=0.9)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "building cosine_near_dup_pairs ran a Spark job"

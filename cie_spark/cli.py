@@ -42,10 +42,11 @@ DEFAULT_ROW_CAP = 1000
 
 def _emit(df, limit: int | None = DEFAULT_ROW_CAP) -> None:
     # fetch cap+1 so a hit of the cap is detectable: silent truncation makes
-    # a partial export look complete (ADVICE r3 low)
-    rows = df.limit(limit + 1).collect() if limit else df.collect()
+    # a partial export look complete (ADVICE r3 low). `is not None`
+    # consistently: limit=0 means "no rows", not "all rows" (ADVICE r4 low)
+    rows = df.limit(limit + 1).collect() if limit is not None else df.collect()
     truncated = limit is not None and len(rows) > limit
-    for r in rows[:limit] if limit else rows:
+    for r in rows[:limit] if limit is not None else rows:
         print(json.dumps(r.asDict(recursive=True), default=str))
     if truncated:
         print(

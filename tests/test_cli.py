@@ -132,3 +132,18 @@ def test_cli_expire_keeps_warehouse_readable(wh, capsys, spark):
     assert out and "triples" in out[0]
     status = _run(capsys, ["--warehouse", warehouse, "query", "index_status"])
     assert {r["pred"] for r in status} >= {"calls", "contains"}
+
+
+def test_emit_limit_zero_prints_nothing(spark, capsys):
+    """limit=0 means 'no rows', not 'all rows' — and no bogus truncation
+    warning alongside full output (ADVICE r4 low: truthiness/is-None mix)."""
+    df = spark.range(5).toDF("n")
+    cli._emit(df, limit=0)
+    cap = capsys.readouterr()
+    assert cap.out.strip() == ""
+    assert "truncated at 0 rows" in cap.err
+
+    cli._emit(df, limit=None)  # explicit no-cap: all rows, no warning
+    cap = capsys.readouterr()
+    assert len(cap.out.strip().splitlines()) == 5
+    assert "truncated" not in cap.err

@@ -50,9 +50,11 @@ def main() -> int:
         )
     qs, os_ = E.queries(), E.oracle_sql()
     fails = []
+    ran: set[str] = set()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran.add(name)
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
@@ -88,6 +90,14 @@ def main() -> int:
             continue
         print(f"OK   {name}: {len(a)} rows")
     spark.stop()
+    # registry↔report parity guard (r4 verdict "what's missing" #2): any
+    # registered query that produced no row above is an explicit failure,
+    # never a silent gap — a tail-drop must be visible in the artifact
+    if not only:
+        for name in qs:
+            if name not in ran:
+                print(f'FAIL {name}: {{"err": "not_run"}}')
+                fails.append(name)
     print(f"\n{len(fails)} failures" + (f": {fails}" if fails else ""))
     return 1 if fails else 0
 

@@ -54,6 +54,12 @@ def get_spark(
         # coalescing rarely triggers, and when it does it is right.
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # TIMESTAMP_MICROS, not the INT96 default: INT96 parquet columns
+        # carry no footer min/max statistics (pyarrow: has_min_max=False),
+        # which silently disabled the manifest ts-bounds harvesting that
+        # time-range scan pruning depends on (ADVICE r4 medium) — and INT96
+        # is deprecated in the parquet spec anyway
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -84,3 +84,22 @@ def test_fused_turn_hash_equals_jvm_hash_pass(spark, tmp_path):
     stored = {r.conv_id: r.conv_hash for r in p.processed.read().collect()}
     direct = {r.conv_id: r.conv_hash for r in p._conv_hashes(t).collect()}
     assert stored == direct and len(stored) == 8
+
+
+def test_full_run_over_empty_source_skips(spark, tmp_path):
+    """A force_reprocess run over an EMPTY source must short-circuit with
+    the same {skipped} result the incremental path returns — not commit
+    fresh empty triples/entities/processed snapshots (ADVICE r4 low: the
+    fused path dropped the rows_in==0 early exit)."""
+    p = KGPipeline(spark, str(tmp_path / "wh"), n_buckets=8)
+    empty = generate_transcripts(spark, n_convs=2, avg_turns=2, seed=7).limit(0)
+    r = p.run(empty, incremental=False)
+    assert r.get("skipped") is True and r["rows_in"] == 0 and r["triples"] == 0
+    # no table snapshots were committed
+    assert p.triples.current_snapshot() is None
+    assert p.entities.current_snapshot() is None
+    assert p.processed.current_snapshot() is None
+    # and a later real run on the same warehouse works normally
+    t = generate_transcripts(spark, n_convs=4, avg_turns=4, seed=7)
+    r2 = p.run(t, incremental=False)
+    assert not r2.get("skipped") and r2["triples"] > 0

@@ -45,6 +45,14 @@ def make_zip(tmp: str) -> str:
     return zpath
 
 
+def _host_load() -> float:
+    """1-minute load average — sampled at leg start so every recorded pair
+    carries its own co-tenant evidence (the round-4 discard protocol had to
+    infer busy windows from leg drift after the fact)."""
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
 def run_once(
     cores: int, convs: int, avg_turns: int, tmp: str, zpath: str,
     shuffle_mult: int = 1,
@@ -81,6 +89,13 @@ def run_once(
         "--warehouse", wh,
         "--full",
         "--shuffle-partitions", str(cores * shuffle_mult),
+        # bucket count sized to the benchmark table (~100 MB of triples),
+        # IDENTICAL on both legs: 128 near-empty bucket files per commit
+        # meant 3 commits × 128 driver-scheduled file tasks of pure serial
+        # cost per leg. 32 keeps the 4N leg's writers saturated and is the
+        # Iceberg-practice size for this table; a 100-TB table would use
+        # thousands of buckets AND thousands of cores.
+        "--buckets", "32",
     ]
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=3600, check=False,
@@ -126,8 +141,10 @@ def main() -> int:
         # is computed inside the job over pipeline wall time only.
         pairs = []
         for _ in range(args.reps):
+            load_n = _host_load()
             r_n = run_once(args.n, args.convs, args.avg_turns, tmp, zpath,
                            args.shuffle_mult)
+            load_4n = _host_load()
             r_4n = run_once(args.n * 4, args.convs, args.avg_turns, tmp, zpath,
                             args.shuffle_mult)
             thr_n, thr_4n = r_n["triples_per_sec"], r_4n["triples_per_sec"]
@@ -137,6 +154,8 @@ def main() -> int:
                 "triples_per_sec_n": round(thr_n, 1),
                 "triples_per_sec_4n": round(thr_4n, 1),
                 "efficiency": round((thr_4n / thr_n) / 4, 3) if thr_n else None,
+                "load1_at_n": load_n,
+                "load1_at_4n": load_4n,
             })
         effs = sorted(p["efficiency"] for p in pairs)
         eff = statistics.median(effs)
@@ -159,7 +178,7 @@ def main() -> int:
         stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
         per_rep = "; ".join(
             f"{p['triples_per_sec_n']}/s → {p['triples_per_sec_4n']}/s "
-            f"(eff {p['efficiency']})"
+            f"(eff {p['efficiency']}, load1 {p['load1_at_n']}/{p['load1_at_4n']})"
             for p in pairs
         )
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:

@@ -34,6 +34,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--full", action="store_true", help="disable incremental delta")
     ap.add_argument("--no-prose", action="store_true", help="marker tiers only")
+    ap.add_argument(
+        "--buckets", type=int, default=128,
+        help="warehouse hash-bucket count (Iceberg practice: size to the "
+             "TABLE — enough that an incremental rewrite touches a thin "
+             "slice and a full write keeps every core busy, but not so many "
+             "that commits schedule hundreds of near-empty file tasks)",
+    )
     args = ap.parse_args(argv)
 
     from cie_spark.plans.pipeline import KGPipeline
@@ -75,7 +82,7 @@ def main(argv: list[str] | None = None) -> int:
         _noop, "id long"
     ).count()
 
-    pipe = KGPipeline(spark, args.warehouse)
+    pipe = KGPipeline(spark, args.warehouse, n_buckets=args.buckets)
     metrics = pipe.run(
         transcripts, incremental=not args.full, prose=not args.no_prose
     )

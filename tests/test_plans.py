@@ -148,3 +148,33 @@ def test_verify_absence_single_scan(spark, tmp_path):
     q = GraphQueries(None, None, t).verify_absence(["foo", "bar", "baz"])
     plan = _physical(q)
     assert plan.count("Scan parquet") == 1
+
+
+def test_lazy_dedup_band_exchange_reused_at_runtime(spark):
+    """The round-5 fixed-overhead diet removed the signature persist from
+    minhash/cosine candidate generation; the 100-TB property it relied on is
+    AQE *runtime* exchange reuse — the band exchange (and the signature scan
+    below it) must compute ONCE even though the self-join references it
+    twice. (At small sizes AQE may instead pick a broadcast join, where the
+    recompute is trivially cheap — force the sort-merge path here so the
+    at-scale shape is what gets pinned.)"""
+    from cie_spark.operators import dedup
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.createDataFrame(
+            [(i, f"shared shingle words alpha beta gamma delta {i % 9}")
+             for i in range(300)],
+            "doc_id long, text string",
+        )
+        df = dedup.minhash_candidates(docs)
+        df.collect()
+        plan = _physical(df)
+        assert "isFinalPlan=true" in plan
+        assert "ReusedExchange" in plan, (
+            "band exchange not reused — the lazy candidate plan would "
+            "compute the signature scan twice at scale"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -288,13 +288,17 @@ def simhash_pairs(docs: DataFrame, *, max_hamming: int = 3, bands: int = 4) -> D
     pigeonhole, any pair within hamming distance < bands shares at least one
     exact band -> equi-join per band, verify with bit_count(xor)."""
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    # repartition before the UDF (fat single-file inputs); no persist — both
-    # self-join sides are the identical subplan, so the band exchange is
-    # computed once and reused (same fixed-overhead diet as
-    # minhash_candidates)
+    # repartition before the UDF (fat single-file inputs). The signature
+    # persist STAYS (round-5 measurement): the simhash is a pandas UDF, and
+    # AQE runtime exchange reuse does not reliably dedupe Python-eval
+    # subtrees across the self-join sides the way it does the pure-JVM
+    # minhash plan — see cosine_near_dup_pairs (same A/B: lazy 7.3 s vs
+    # persisted 1.1 s on the UDF-based path). Pure-JVM candidate plans
+    # (minhash_candidates) stay lazy.
     sh = (
         docs.repartition(n_part)
         .select("doc_id", simhash_col(F.col("text")).alias("sh"))
+        .persist()
     )
     parts = sh.select(
         "doc_id",
@@ -321,6 +325,8 @@ def simhash_pairs(docs: DataFrame, *, max_hamming: int = 3, bands: int = 4) -> D
         .dropDuplicates(["doc_a", "doc_b"])
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", ham).filter(
+    out = cand.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
-    ).select("doc_a", "doc_b", "hamming")
+    ).select("doc_a", "doc_b", "hamming").localCheckpoint(eager=True)
+    sh.unpersist()
+    return out

@@ -252,6 +252,18 @@ class KGPipeline:
             fresh = link.link_surfaces(self.spark, missing)
             raw = stored.unionByName(fresh)
         else:
+            # empty dictionary (first / benchmark full run): link AND
+            # canonicalize driver-side when the vocabulary is local-sized —
+            # the distributed canon alone is 2+ driver job rounds (the
+            # isEmpty chain probe profiled at 1.9 s) of per-leg serial cost
+            # on a link map the driver already holds as a list
+            rows = link.link_surfaces_rows(self.spark, distinct)
+            if rows is not None:
+                merged = self.spark.createDataFrame(
+                    canon.canonicalize_rows_local(rows), link.LINKMAP_SCHEMA
+                )
+                self._pending_links = merged
+                return merged
             raw = link.link_surfaces(self.spark, distinct)
         merged = canon.canonicalize_linkmap(raw)
         if merged is not raw:
@@ -427,7 +439,11 @@ class KGPipeline:
         # 3. link (+ 4. canon on the small distinct-surface link map)
         started = _now()
         ents = mentions.filter(F.col("kind") == "entity")
-        linkmap = self._link_with_dictionary(ents.select("surface")).cache()
+        linkmap = self._link_with_dictionary(ents.select("surface"))
+        if not linkmap.isLocal():
+            # a driver-local link map is a LocalRelation — caching it only
+            # adds a plan-normalization round-trip (profiled ~0.24 s/call)
+            linkmap = linkmap.cache()
         linked_ents = ents.join(
             F.broadcast(linkmap.select("surface", "entity_id", "link_tier")),
             on="surface", how="left",

@@ -133,6 +133,16 @@ def link_rows_local(
     entity_id ASC) pairwise, so candidate enumeration order is irrelevant."""
     import hashlib
 
+    k = spec.SHINGLE_K
+
+    def _shingles_normed(n: str) -> set[str]:
+        # spec.shingles(n) re-norms its input; n is already norm'd and norm
+        # is idempotent (pinned by test_spec), so shingle directly — same
+        # set, minus a redundant regex pass per miss.
+        if len(n) < k:
+            return {n} if n else set()
+        return {n[i : i + k] for i in range(len(n) - k + 1)}
+
     out = []
     misses: list[tuple[str, str]] = []
     for s in surfaces:
@@ -142,28 +152,39 @@ def link_rows_local(
             out.append((s, n, hit, "dict"))
         else:
             misses.append((s, n))
-    dic_shingles = [(spec.shingles(k), k, v) for k, v in sorted(dic.items())]
+    dic_shingles = [
+        (_shingles_normed(spec.norm(dk)), dk, v) for dk, v in sorted(dic.items())
+    ]
+    dic_lens = [len(t[0]) for t in dic_shingles]
     index: dict[str, list[int]] = {}
     for i, (dsh, _dn, _eid) in enumerate(dic_shingles):
         for g in dsh:
             index.setdefault(g, []).append(i)
     threshold = spec.JACCARD_LINK_THRESHOLD
+    index_get = index.get
     scored = 0
     for s, n in misses:
-        sh = spec.shingles(n)
+        sh = _shingles_normed(n)
         cand: set[int] = set()
         for g in sh:
-            hits = index.get(g)
+            hits = index_get(g)
             if hits:
                 cand.update(hits)
         best: tuple[float, str] | None = None
         la = len(sh)
+        # length-ratio skip, arithmetic hoisted out of the candidate loop:
+        # min(la,lb) < t*max(la,lb)  ⇔  lb < t*la (when lb<=la)
+        #                               or la < t*lb (when lb>la)
+        # — identical float comparisons to the naive form, ~3 fewer builtin
+        # calls per candidate (the r5 pytest wall-clock profile showed 4.7M
+        # min/max calls dominating the 64k×10k blocked case).
+        tla = threshold * la
         for ci in cand:
-            dsh, _dn, eid = dic_shingles[ci]
-            lb = len(dsh)
-            if min(la, lb) < threshold * max(la, lb):
+            lb = dic_lens[ci]
+            if (lb < tla) if lb <= la else (la < threshold * lb):
                 continue
             scored += 1
+            dsh, _dn, eid = dic_shingles[ci]
             j = spec.jaccard(sh, dsh)
             if j >= threshold and (
                 best is None or j > best[0] or (j == best[0] and eid < best[1])

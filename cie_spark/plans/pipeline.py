@@ -47,6 +47,28 @@ from cie_spark.sources.io_snapshots import SnapshotTable
 
 RESUME_POLICIES = ("trust_checkpoint", "force_reprocess", "fail_fast")
 
+# Delta size (changed conversations) below which the incremental run takes
+# the small-delta fast path: the delta is collected to the driver (bounded:
+# ~50 B/row), conversation scoping becomes a literal predicate instead of a
+# broadcast join, bucket discovery for the merges is hashed in-process
+# (io_snapshots.buckets_for_keys), and AQE + wide shuffles are switched off
+# for the run. Rationale: a 10-conv incremental run was measured at ~58
+# driver job rounds (AQE materializes every exchange of every tiny query as
+# its own job) — at this size the work is scheduling, not data, and every
+# removed round is serial latency. Above the cap the distributed path is
+# unchanged. Bit-agreement between the two paths is pinned by
+# tests/test_pipeline_policies.py::test_small_delta_path_agrees_with_big.
+SMALL_DELTA_CONVS = 10_000
+
+# Second gate on the same fast path: total TURN volume. Conversation count
+# alone under-specifies the work (mega-conversations exist — the skew
+# machinery salts them for a reason): 10k convs × 10k turns is 10^8 rows,
+# which must NOT run with AQE off on 8 shuffle partitions. The fast path is
+# for scheduling-bound runs; past ~1M turns the work term dominates the
+# ~58-job-round serial term it exists to remove, so the distributed path
+# is the right plan anyway.
+SMALL_DELTA_ROWS = 1_000_000
+
 
 def _now() -> datetime:
     return datetime.now(timezone.utc)
@@ -177,11 +199,24 @@ class KGPipeline:
             F.count("*").cast("long").alias("n_turns"),
         )
 
-    def delta_convs(self, transcripts: DataFrame) -> DataFrame:
+    def delta_convs(
+        self, transcripts: DataFrame, restrict_ids: list[str] | None = None,
+    ) -> DataFrame:
         """conv_ids that are new or changed vs the processed checkpoint
-        (full-outer-join delta, exactly the reference's hash_delta shape)."""
+        (full-outer-join delta, exactly the reference's hash_delta shape).
+
+        `restrict_ids`: caller guarantees `transcripts` holds only these
+        conv_ids — the processed side of the compare is then bucket-pruned
+        to the ids' buckets (in-process hash, no discovery job). At scale
+        this is the difference between reading a 10-bucket slice and the
+        whole checkpoint table for a 10-conversation delta."""
         current = self._conv_hashes(transcripts)
-        prev = self.processed.read()
+        if restrict_ids is not None:
+            prev = self.processed.read(
+                buckets=sorted(self.processed.buckets_for_keys(restrict_ids))
+            )
+        else:
+            prev = self.processed.read()
         if prev is None:
             return current
         j = current.alias("c").join(
@@ -274,6 +309,36 @@ class KGPipeline:
         self._pending_links = merged
         return merged.join(distinct, on="surface", how="left_semi")
 
+    # -- small-run conf guard ----------------------------------------------
+
+    def _small_run_confs(self):
+        """Session-conf guard for scheduling-bound tiny runs: AQE off (every
+        AQE exchange materialization is its own driver job round — measured
+        ~58 rounds for a 10-conv incremental run) and shuffles narrowed to 8
+        partitions (32 near-empty tasks per stage is pure scheduling). Safe
+        because the pipeline is single-flight (run_from_table flock; watch
+        is one-at-a-time) — no concurrent query in this session depends on
+        these confs mid-run. Values restored on exit, exceptions included."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def guard():
+            conf = self.spark.conf
+            desired = {
+                "spark.sql.adaptive.enabled": "false",
+                "spark.sql.shuffle.partitions": "8",
+            }
+            saved = {k: conf.get(k) for k in desired}
+            try:
+                for k, v in desired.items():
+                    conf.set(k, v)
+                yield
+            finally:
+                for k, v in saved.items():
+                    conf.set(k, v)
+
+        return guard()
+
     # -- incremental source (Iceberg changelog analog) ----------------------
 
     def _source_ckpt_path(self) -> str:
@@ -350,15 +415,39 @@ class KGPipeline:
                 # conversations hash equal and drop out; genuinely changed or
                 # partially-appended conversations mismatch and stay. Only
                 # those convs are then read back in full.
-                changed = (
-                    self.delta_convs(delta_rows)
-                    .select("conv_id")
-                    .localCheckpoint(eager=True)
+                #
+                # One limit-collect replaces the former eager-checkpoint +
+                # isEmpty + join-in-read_matching chain (3 driver rounds ->
+                # 1): a delta of <= SMALL_DELTA_CONVS ids is driver-trivial,
+                # scoping becomes a literal predicate over a bucket-pruned
+                # read (buckets hashed in-process), and the whole scoped run
+                # executes under the small-run conf guard. An over-cap delta
+                # re-derives the frame for the unchanged distributed path —
+                # one extra hash pass over delta files, amortized by the
+                # delta's own work at that size.
+                changed_df = self.delta_convs(delta_rows).select(
+                    "conv_id", "n_turns"
                 )
-                if changed.isEmpty():
+                rows = changed_df.limit(SMALL_DELTA_CONVS + 1).collect()
+                ids = [r[0] for r in rows]
+                n_rows = sum(r[1] for r in rows)
+                if not ids:
                     out = {"run_id": None, "rows_in": 0, "triples": 0,
                            "seconds": 0.0, "skipped": True}
+                elif (
+                    len(ids) <= SMALL_DELTA_CONVS
+                    and n_rows <= SMALL_DELTA_ROWS
+                ):
+                    with self._small_run_confs():
+                        touched = turns.read(
+                            buckets=sorted(turns.buckets_for_keys(ids))
+                        )
+                        scoped = touched.filter(F.col("conv_id").isin(ids))
+                        out = self.run(scoped, delta_scope_ids=ids, **kw)
                 else:
+                    changed = changed_df.select("conv_id").localCheckpoint(
+                        eager=True
+                    )
                     scoped = turns.read_matching(changed, ["conv_id"])
                     out = self.run(scoped, **kw)
         self._set_source_snapshot(cur)
@@ -375,6 +464,32 @@ class KGPipeline:
         run_id: str | None = None,
         resume: str = "trust_checkpoint",
         fail_on_violation: bool = True,
+        delta_scope_ids: list[str] | None = None,
+    ) -> dict:
+        # ExitStack: the small-delta fast path discovers mid-run (after the
+        # hash pass) that the delta is tiny and enters the small-run conf
+        # guard; the stack guarantees conf restoration on every exit path.
+        from contextlib import ExitStack
+
+        with ExitStack() as stack:
+            return self._run_impl(
+                transcripts, stack,
+                incremental=incremental, prose=prose, run_id=run_id,
+                resume=resume, fail_on_violation=fail_on_violation,
+                delta_scope_ids=delta_scope_ids,
+            )
+
+    def _run_impl(
+        self,
+        transcripts: DataFrame,
+        stack,
+        *,
+        incremental: bool = True,
+        prose: bool = True,
+        run_id: str | None = None,
+        resume: str = "trust_checkpoint",
+        fail_on_violation: bool = True,
+        delta_scope_ids: list[str] | None = None,
     ) -> dict:
         if resume not in RESUME_POLICIES:
             raise ValueError(f"resume must be one of {RESUME_POLICIES}")
@@ -405,17 +520,38 @@ class KGPipeline:
             delta = None
             scoped = transcripts
             n_delta = rows_in = None
+            small_ids = None
         else:
-            delta = self.delta_convs(transcripts).cache()
+            delta = self.delta_convs(
+                transcripts, restrict_ids=delta_scope_ids
+            ).cache()
             n_delta, rows_in = _agg()
             n_delta, rows_in = int(n_delta), int(rows_in)
-            scoped = transcripts.join(
-                delta.select("conv_id").hint("broadcast")
-                if n_delta < 100_000
-                else delta.select("conv_id"),
-                on="conv_id",
-                how="left_semi",
-            )
+            small_ids = None
+            if 0 < n_delta <= SMALL_DELTA_CONVS and rows_in <= SMALL_DELTA_ROWS:
+                # small-delta fast path: the delta is driver-trivial —
+                # collect it once (bounded by the cap), turn it into a
+                # LocalRelation (the downstream purge/checkpoint merges stop
+                # re-running its lineage), scope by a literal predicate
+                # instead of a broadcast join, and run the rest under the
+                # small-run conf guard. Bucket sets for the commit merges
+                # are hashed in-process (no bucket-discovery job rounds).
+                local_delta = delta.collect()
+                delta.unpersist()
+                delta = self.spark.createDataFrame(
+                    local_delta, "conv_id string, conv_hash string, n_turns long"
+                )
+                small_ids = [r["conv_id"] for r in local_delta]
+                scoped = transcripts.filter(F.col("conv_id").isin(small_ids))
+                stack.enter_context(self._small_run_confs())
+            else:
+                scoped = transcripts.join(
+                    delta.select("conv_id").hint("broadcast")
+                    if n_delta < 100_000
+                    else delta.select("conv_id"),
+                    on="conv_id",
+                    how="left_semi",
+                )
             lineage_rows.append(
                 dict(stage="source", rows_in=rows_in, rows_out=rows_in,
                      partition_key=f"convs={n_delta}", started=started,
@@ -612,6 +748,12 @@ class KGPipeline:
                 trips, keys=["subj", "pred", "obj", "conv_id", "turn_idx"],
                 purge=delta.select("conv_id"), purge_keys=["conv_id"],
                 purge_covers=True,  # every emitted triple belongs to a delta conv
+                # small path: touched buckets hashed in-process from the
+                # collected delta ids — no bucket-discovery job
+                aff_hint=(
+                    self.triples.buckets_for_keys(small_ids)
+                    if small_ids is not None else None
+                ),
             )
 
         def _commit_vertices() -> None:
@@ -666,9 +808,14 @@ class KGPipeline:
         )
         with ThreadPoolExecutor(max_workers=2) as pool:
             ck_fut = pool.submit(
-                self.processed.merge,
-                delta.select("conv_id", "conv_hash", "n_turns"),
-                ["conv_id"],
+                lambda: self.processed.merge(
+                    delta.select("conv_id", "conv_hash", "n_turns"),
+                    ["conv_id"],
+                    aff_hint=(
+                        self.processed.buckets_for_keys(small_ids)
+                        if small_ids is not None else None
+                    ),
+                )
             )
             rec_fut = pool.submit(self._record, run_id, lineage_rows)
             ck_fut.result()

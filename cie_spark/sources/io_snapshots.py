@@ -451,6 +451,34 @@ class SnapshotTable:
             for r in df.select(self._bucket_col().alias("_b")).distinct().collect()
         }
 
+    def buckets_for_keys(self, keys) -> set[int]:
+        """Driver-side rendering of `_affected_buckets` for an already-
+        collected key list: pmod(xxh64(utf8(key)), n_buckets), computed
+        in-process — no Spark job. Bit-agreement with the JVM expression
+        is pinned by test_python_bucket_matches_spark; used by the
+        small-delta incremental path where a per-table bucket-discovery
+        job round is pure serial latency.
+
+        str keys ONLY: the JVM expression hashes a long's 8-byte
+        little-endian form, not its decimal rendering, so a silent
+        str() coercion would assign WRONG buckets for numeric bucket
+        keys — and a wrong aff_hint in merge() loses rows silently.
+        Refuse anything but str; callers with non-string keys must use
+        the Spark-side `_affected_buckets` discovery instead."""
+        from cie_spark.functions.xxh64 import xxh64_signed
+
+        n = self.n_buckets
+        out = set()
+        for k in keys:
+            if not isinstance(k, str):
+                raise TypeError(
+                    f"buckets_for_keys supports str keys only, got "
+                    f"{type(k).__name__}: non-string bucket keys hash "
+                    f"differently on the JVM (use _affected_buckets)"
+                )
+            out.add(xxh64_signed(k.encode("utf-8")) % n)
+        return out
+
     def _write_fileset(self, df: DataFrame, partition_by: list[str] | None) -> str:
         fs = "fs-" + uuid.uuid4().hex[:12]
         path = os.path.join(self.root, "data", fs)
@@ -659,10 +687,12 @@ class SnapshotTable:
         purge_keys: list[str] | None = None,
         resolve: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
         purge_covers: bool = False,
+        aff_hint: set[int] | None = None,
     ) -> str:
         return self._retrying(
             lambda: self._merge_once(
-                df, keys, partition_by, purge, purge_keys, resolve, purge_covers
+                df, keys, partition_by, purge, purge_keys, resolve,
+                purge_covers, aff_hint,
             )
         )
 
@@ -675,6 +705,7 @@ class SnapshotTable:
         purge_keys: list[str] | None = None,
         resolve: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
         purge_covers: bool = False,
+        aff_hint: set[int] | None = None,
     ) -> str:
         """Copy-on-write MERGE: WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT,
         keyed on `keys` — idempotent upsert (reference :put semantics,
@@ -709,8 +740,15 @@ class SnapshotTable:
             # purge_covers: caller guarantees every incoming key's bucket is
             # also a purge-key bucket (e.g. purge = changed conv_ids and
             # incoming rows all belong to changed convs) — saves one
-            # distinct-collect job on the incoming frame
-            if purge is not None and purge_covers:
+            # distinct-collect job on the incoming frame.
+            # aff_hint: the caller already knows the touched buckets
+            # (driver-local delta hashed via buckets_for_keys) — skips the
+            # bucket-discovery job(s) entirely. The hint must COVER both the
+            # incoming and purge keys; an under-hint would leave matched
+            # rows unmerged in unread buckets, so only pass ids-derived sets.
+            if aff_hint is not None:
+                aff = set(aff_hint)
+            elif purge is not None and purge_covers:
                 aff = self._affected_buckets(purge)
             else:
                 aff = self._affected_buckets(df)

@@ -486,3 +486,53 @@ def test_rebucket_evolves_spec_contents_unchanged(spark, tmp_path):
     t.merge(_df(spark, [("k7", 7000)]), keys=["k"])
     got = {r.k: r.v for r in t.read().collect()}
     assert got["k7"] == 7000 and len(got) == 200
+
+
+def test_python_bucket_matches_spark(spark, tmp_path):
+    """Contract for the driver-side bucket hash (xxh64.py): buckets_for_keys
+    must agree bit-for-bit with the JVM bucket expression
+    pmod(xxhash64(key), n_buckets) for every UTF-8 shape (all xxh64 branch
+    lengths: <4, 4-7, 8-31, >=32 bytes; multi-byte unicode; empty). A
+    divergence would make the small-delta fast path prune the WRONG bucket
+    and silently miss matched rows."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cie_spark.functions.xxh64 import xxh64_signed
+
+    rng = random.Random(7)
+    keys = [
+        "", "a", "ab", "abc", "abcd", "abcdefg", "abcdefgh",
+        "conv-000042", "x" * 31, "x" * 32, "x" * 33, "x" * 100,
+        "héllo", "中文键名", "emoji-🙂-key", "mixé-中-🙂" * 5,
+    ] + [
+        "".join(rng.choice("abcdefghij-0123456789é中🙂") for _ in range(rng.randint(1, 64)))
+        for _ in range(50)
+    ]
+    n = 16
+    t = SnapshotTable(spark, str(tmp_path / "bk"), bucket_key="k", n_buckets=n)
+
+    jvm = {
+        r.k: (r.h, r.b)
+        for r in spark.createDataFrame([(k,) for k in keys], "k string")
+        .select(
+            "k",
+            F.xxhash64("k").alias("h"),
+            F.pmod(F.xxhash64("k"), F.lit(n)).alias("b"),
+        )
+        .collect()
+    }
+    for k in keys:
+        assert xxh64_signed(k.encode("utf-8")) == jvm[k][0], k
+        assert t.buckets_for_keys([k]) == {jvm[k][1]}, k
+    # set semantics over a batch
+    assert t.buckets_for_keys(keys) == {jvm[k][1] for k in keys}
+
+    # non-string keys hash differently on the JVM (bytes of the long, not
+    # its decimal rendering) — a silent str() coercion would mis-prune, so
+    # the contract is an explicit refusal
+    import pytest
+
+    with pytest.raises(TypeError, match="str keys only"):
+        t.buckets_for_keys([42])

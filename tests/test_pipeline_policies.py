@@ -214,3 +214,82 @@ def test_conv_hash_order_independent(spark, tmp_path):
     assert c["conv-000001"] != a["conv-000001"][0]
     assert all(c[k] == a[k][0] for k in c if k != "conv-000001")
     t.unpersist()
+
+
+def test_small_delta_path_agrees_with_big(spark, tmp_path, monkeypatch):
+    """The small-delta fast path (driver-collected delta, literal isin
+    scoping, in-process bucket hints, AQE-off conf guard) must produce a
+    bit-identical warehouse to the distributed path on the same edit set
+    (one changed conv + two brand-new convs), and must restore the session
+    confs it touches."""
+    src = SnapshotTable(
+        spark, str(tmp_path / "src"), bucket_key="conv_id", n_buckets=16
+    )
+    base = generate_transcripts(spark, n_convs=12, avg_turns=6, seed=21).cache()
+    src.overwrite(base)
+
+    p_small = KGPipeline(spark, str(tmp_path / "whs"))
+    p_big = KGPipeline(spark, str(tmp_path / "whb"))
+    p_small.run_from_table(src)
+    p_big.run_from_table(src)
+
+    # two new convs (generator is hash-per-id: ids 0..11 regenerate
+    # identically, so the slice >11 is genuinely new rows)...
+    extra = generate_transcripts(spark, n_convs=14, avg_turns=6, seed=21).filter(
+        F.col("conv_id") > "conv-000011"
+    )
+    src.merge(extra, keys=["conv_id", "turn_idx"])
+    # ...and one edited conv
+    edited = (
+        src.read()
+        .filter((F.col("conv_id") == "conv-000003") & (F.col("turn_idx") == 0))
+        .withColumn("text", F.lit("now about [[Grafana]] and [[Vault]]"))
+    )
+    src.merge(edited, keys=["conv_id", "turn_idx"])
+
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    shuf_before = spark.conf.get("spark.sql.shuffle.partitions")
+
+    # prove the fast path actually engaged (and the big run stayed off it)
+    engaged = []
+    orig_guard = KGPipeline._small_run_confs
+
+    def spy(self):
+        engaged.append(True)
+        return orig_guard(self)
+
+    monkeypatch.setattr(KGPipeline, "_small_run_confs", spy)
+    r_small = p_small.run_from_table(src)
+    assert engaged, "small-delta fast path did not engage"
+    assert not r_small.get("skipped")
+
+    engaged.clear()
+    # row-volume cap alone must force the distributed path even when the
+    # conv-count cap passes (mega-conversation guard: 10k convs × 10k turns
+    # is 10^8 rows — must not run with AQE off on 8 shuffle partitions)
+    monkeypatch.setattr(pl, "SMALL_DELTA_ROWS", 0)
+    r_big = p_big.run_from_table(src)
+    assert not engaged, "row cap=0 must force the distributed path"
+    assert not r_big.get("skipped")
+
+    # confs the guard touches are restored
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe_before
+    assert spark.conf.get("spark.sql.shuffle.partitions") == shuf_before
+
+    # identical warehouse state on every table the run commits
+    assert r_small["triples"] == r_big["triples"]
+    assert _triple_set(p_small) == _triple_set(p_big)
+    ents = lambda p: sorted(  # noqa: E731
+        (r.entity_id, tuple(sorted(r.surfaces)))
+        for r in p.entities.read().select("entity_id", "surfaces").collect()
+    )
+    assert ents(p_small) == ents(p_big)
+    proc = lambda p: sorted(  # noqa: E731
+        (r.conv_id, r.conv_hash, r.n_turns)
+        for r in p.processed.read().collect()
+    )
+    assert proc(p_small) == proc(p_big)
+
+    # and both no-op on an unchanged source
+    assert p_small.run_from_table(src).get("skipped") is True
+    base.unpersist()

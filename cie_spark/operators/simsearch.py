@@ -51,6 +51,20 @@ def topk_bruteforce(
     )
 
 
+def _pack_signatures(M: np.ndarray, P: np.ndarray) -> np.ndarray:
+    """Sign-bit signatures for a batch: bit i = (row . plane_i) >= 0, packed
+    into int64. THE single definition of the signature bit layout — the two
+    pandas UDFs and the driver-local tier all call this, so their
+    bit-identity holds by construction (not by parallel-edit discipline).
+    M: batch × dim float64; P: dim × n_planes float64."""
+    n_planes = P.shape[1]
+    bits = (M @ P >= 0).astype(np.uint64)  # batch × planes
+    out = np.zeros(M.shape[0], dtype=np.uint64)
+    for i in range(n_planes):
+        out |= bits[:, i] << np.uint64(i)
+    return out.view(np.int64)
+
+
 def _hyperplane_sig(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature: bit i = (vec . plane_i) >= 0.
 
@@ -59,18 +73,13 @@ def _hyperplane_sig(vec: Column, planes: list[list[float]]) -> Column:
     planes × 64 dims — another 'custom operator -> vectorized UDF' case.)
     """
     P = np.asarray(planes, dtype=np.float64).T  # dim × n_planes
-    n_planes = P.shape[1]
 
     @F.pandas_udf(T.LongType())
     def sig(vecs: pd.Series) -> pd.Series:
         M = np.array(list(vecs), dtype=np.float64)  # batch × dim
         if M.size == 0:
             return pd.Series(np.zeros(0, dtype=np.int64))
-        bits = (M @ P >= 0).astype(np.uint64)  # batch × planes
-        out = np.zeros(len(vecs), dtype=np.uint64)
-        for i in range(n_planes):
-            out |= bits[:, i] << np.uint64(i)
-        return pd.Series(out.view(np.int64))
+        return pd.Series(_pack_signatures(M, P))
 
     return sig(vec)
 
@@ -100,11 +109,7 @@ def _hyperplane_sig_auto(vec: Column, n_planes: int, seed: int) -> Column:
         P = np.asarray(
             make_planes(M.shape[1], n_planes, seed), dtype=np.float64
         ).T
-        bits = (M @ P >= 0).astype(np.uint64)
-        out = np.zeros(len(vecs), dtype=np.uint64)
-        for i in range(n_planes):
-            out |= bits[:, i] << np.uint64(i)
-        return pd.Series(out.view(np.int64))
+        return pd.Series(_pack_signatures(M, P))
 
     return sig(vec)
 
@@ -199,11 +204,95 @@ def topk_ivf(
     )
 
 
+# Input size (vectors) at or below which cosine_near_dup_pairs runs
+# driver-locally: a bounded ids-only count probe, a bounded vector fetch,
+# then the identical banded blocking + exact verify as numpy over the
+# collected matrix, returning a LocalRelation. At this size the distributed plan is ~6 stages of
+# scheduling (persist, posexplode, window census, self-join, two
+# join-backs, eager checkpoint) for ~1 ms of math — measured 3.3 s for
+# 2,000 vectors at sf0.1. Above the cap the distributed tier is unchanged
+# (the 100-TB shape). 8,192 rows × dim ≤ ~1.5k is ≤ ~100 MB of Arrow —
+# driver-bounded. Same tiering pattern as link.link_rows_local;
+# bit-agreement is pinned by
+# tests/test_simsearch.py::test_near_dup_local_tier_agrees_with_distributed.
+LOCAL_MAX_VECTORS = 8_192
+
+
+def _round_half_up4(x: float) -> float:
+    """Mirror of Spark's round(col, 4) on doubles: BigDecimal.valueOf
+    (shortest decimal repr — same contract as Python's repr) then
+    HALF_UP. Python's built-in round() is banker's rounding and would
+    diverge on exact .5 ties."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+    )
+
+
+def _near_dup_pairs_local(
+    spark, ids, M: np.ndarray, threshold: float, id_type,
+    n_planes: int, bands: int, seed: int, max_bucket: int,
+) -> DataFrame:
+    """Driver-local rendering of the banded near-dup plan below. Bit-level
+    mirror of the distributed tier: the signature matmul is the SAME numpy
+    code as `_hyperplane_sig_auto`; band split is arithmetic-shift+mask
+    (numpy int64 >> == JVM shiftright); bucket cap, id-ordered pairing and
+    HALF_UP rounding all match. The only permitted divergence is float
+    summation order in the verify dot product (numpy pairwise vs the JVM
+    sequential fold) — invisible at 4 rounded decimals away from ties,
+    and pinned on seeded data by the agreement test."""
+    from pyspark.sql import types as T2
+
+    schema = T2.StructType(
+        [
+            T2.StructField("id_a", id_type),
+            T2.StructField("id_b", id_type),
+            T2.StructField("sim", T2.DoubleType()),
+        ]
+    )
+    if M.size == 0:
+        return spark.createDataFrame([], schema)
+    P = np.asarray(make_planes(M.shape[1], n_planes, seed), dtype=np.float64).T
+    sig = _pack_signatures(M, P)
+
+    bits = n_planes // bands
+    mask = np.int64((1 << bits) - 1)
+    cand: set = set()
+    for b in range(bands):
+        vals = (sig >> np.int64(bits * b)) & mask
+        buckets: dict = {}
+        for idx in range(len(ids)):
+            buckets.setdefault(int(vals[idx]), []).append(idx)
+        for members in buckets.values():
+            if len(members) > max_bucket or len(members) < 2:
+                continue
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    x, y = members[i], members[j]
+                    # pair ordered by id VALUE (not row position) — the
+                    # distributed join filters x.id < y.id
+                    if ids[x] < ids[y]:
+                        cand.add((x, y))
+                    elif ids[y] < ids[x]:
+                        cand.add((y, x))
+
+    norms = np.sqrt(np.einsum("ij,ij->i", M, M))
+    out = []
+    for x, y in cand:
+        na, nb = norms[x], norms[y]
+        s = float(M[x] @ M[y] / (na * nb)) if na > 0 and nb > 0 else 0.0
+        if s >= threshold:
+            out.append((ids[x], ids[y], _round_half_up4(s)))
+    out.sort()
+    return spark.createDataFrame(out, schema)
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_planes: int = 64, bands: int = 8, seed: int = 42,
-    max_bucket: int = 512,
+    max_bucket: int = 512, local_max: int = LOCAL_MAX_VECTORS,
 ) -> DataFrame:
     """Embedding near-dup pairs (a<b, cosine >= threshold) via BANDED
     hyperplane-signature blocking + exact verify — never an all-pairs cross
@@ -229,6 +318,29 @@ def cosine_near_dup_pairs(
     salting analog; recall trade documented). Verification is the exact
     cosine, so precision is 1.0 by construction.
     """
+    if local_max:
+        # small-input tier, two bounded probes: first ids ONLY (a
+        # column-pruned CollectLimit — for a scan input it short-circuits
+        # at the first files; for a shuffle-derived input it costs at most
+        # one upstream pass but moves only id bytes, never the ~100 MB of
+        # vectors an over-cap fetch would have discarded), then the
+        # vectors, fetched only once the input is known to fit. Pass
+        # local_max=0 to pin the distributed tier (plan tests, A/B).
+        n_probe = len(vectors.select(id_col).limit(local_max + 1).collect())
+        if n_probe <= local_max:
+            head = vectors.select(id_col, vec_col).toPandas()
+            ids = head[id_col].tolist()
+            M = (
+                np.array(list(head[vec_col]), dtype=np.float64)
+                if len(head)
+                else np.zeros((0, 0))
+            )
+            return _near_dup_pairs_local(
+                vectors.sparkSession, ids, M, threshold,
+                vectors.schema[id_col].dataType,
+                n_planes, bands, seed, max_bucket,
+            )
+
     bits = n_planes // bands
     mask = (1 << bits) - 1
     # Fixed-overhead diet, round-5 FINAL shape (r4 verdict wrong #2). Two

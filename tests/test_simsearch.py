@@ -101,11 +101,57 @@ def test_near_dup_banded_recall_on_planted_pairs(spark):
     assert len(exact) >= 50  # the planted pairs are really there
     banded = {
         (r.id_a, r.id_b)
-        for r in simsearch.cosine_near_dup_pairs(df, threshold=0.9).collect()
+        for r in simsearch.cosine_near_dup_pairs(
+            df, threshold=0.9, local_max=0  # pin the DISTRIBUTED tier
+        ).collect()
     }
     assert banded <= exact  # exact verify => precision 1.0
     recall = len(banded & exact) / len(exact)
     assert recall >= 0.9, f"banded recall {recall:.2f} < 0.9"
+
+
+def test_near_dup_local_tier_agrees_with_distributed(spark):
+    """The driver-local small-input tier (default below LOCAL_MAX_VECTORS)
+    must return the identical pair set AND identical rounded sims as the
+    distributed banded plan — planted near-dups, noise, a zero vector and
+    a hot exact-dup cluster all included. Any divergence in the signature
+    matmul, band split, bucket cap, id ordering or rounding shows here."""
+    rng = np.random.default_rng(11)
+    dim = 24
+    rows = []
+    vid = 0
+    for _ in range(12):  # planted near-dup clusters
+        base = rng.standard_normal(dim)
+        for _ in range(3):
+            v = base + 0.02 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(120):  # noise
+        rows.append((vid, [float(x) for x in rng.standard_normal(dim)]))
+        vid += 1
+    rows.append((vid, [0.0] * dim))  # zero vector -> sim defined as 0.0
+    vid += 1
+    hot = [float(x) for x in rng.standard_normal(dim)]
+    for _ in range(20):  # exact-dup cluster LARGER than max_bucket: its
+        rows.append((vid, list(hot)))  # band buckets (>= 20 members) must be
+        vid += 1  # dropped by BOTH tiers — exercises the over-cap drop path
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    hot_start = vid - 20
+    kw = dict(threshold=0.9, n_planes=64, bands=8, seed=42, max_bucket=16)
+    local = sorted(
+        (r.id_a, r.id_b, r.sim)
+        for r in simsearch.cosine_near_dup_pairs(df, **kw).collect()
+    )
+    dist = sorted(
+        (r.id_a, r.id_b, r.sim)
+        for r in simsearch.cosine_near_dup_pairs(df, local_max=0, **kw).collect()
+    )
+    assert local, "agreement test must compare non-empty results"
+    # the over-cap drop really engaged: the 20-member exact-dup cluster's
+    # buckets exceed max_bucket in every band, so neither tier pairs them
+    assert not any(a >= hot_start and b >= hot_start for a, b, _ in local)
+    assert local == dist
 
 
 def test_hyperplane_sig_auto_matches_explicit_planes(spark):
@@ -157,5 +203,7 @@ def test_cosine_near_dup_pairs_no_dimension_probe_job(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = {(r.id_a, r.id_b) for r in
-           simsearch.cosine_near_dup_pairs(df, threshold=0.99).collect()}
+           simsearch.cosine_near_dup_pairs(
+               df, threshold=0.99, local_max=0  # pin the DISTRIBUTED tier
+           ).collect()}
     assert (0, 1) in got

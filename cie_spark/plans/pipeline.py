@@ -438,12 +438,13 @@ class KGPipeline:
                     len(ids) <= SMALL_DELTA_CONVS
                     and n_rows <= SMALL_DELTA_ROWS
                 ):
-                    with self._small_run_confs():
-                        touched = turns.read(
-                            buckets=sorted(turns.buckets_for_keys(ids))
-                        )
-                        scoped = touched.filter(F.col("conv_id").isin(ids))
-                        out = self.run(scoped, delta_scope_ids=ids, **kw)
+                    scoped = turns.read_keys(ids)
+                    if scoped is None:  # only-null conv_ids: nothing indexable
+                        out = {"run_id": None, "rows_in": 0, "triples": 0,
+                               "seconds": 0.0, "skipped": True}
+                    else:
+                        with self._small_run_confs():
+                            out = self.run(scoped, delta_scope_ids=ids, **kw)
                 else:
                     changed = changed_df.select("conv_id").localCheckpoint(
                         eager=True

@@ -459,25 +459,47 @@ class SnapshotTable:
         small-delta incremental path where a per-table bucket-discovery
         job round is pure serial latency.
 
-        str keys ONLY: the JVM expression hashes a long's 8-byte
+        str-or-None keys ONLY: the JVM expression hashes a long's 8-byte
         little-endian form, not its decimal rendering, so a silent
         str() coercion would assign WRONG buckets for numeric bucket
         keys — and a wrong aff_hint in merge() loses rows silently.
         Refuse anything but str; callers with non-string keys must use
-        the Spark-side `_affected_buckets` discovery instead."""
+        the Spark-side `_affected_buckets` discovery instead. A None key
+        mirrors the JVM exactly: xxhash64(NULL) passes the seed (42)
+        through, so null rows land in bucket pmod(42, n) — a hint built
+        from a key list containing None still COVERS those rows."""
         from cie_spark.functions.xxh64 import xxh64_signed
 
         n = self.n_buckets
         out = set()
         for k in keys:
-            if not isinstance(k, str):
+            if k is None:
+                out.add(42 % n)
+            elif isinstance(k, str):
+                out.add(xxh64_signed(k.encode("utf-8")) % n)
+            else:
                 raise TypeError(
-                    f"buckets_for_keys supports str keys only, got "
+                    f"buckets_for_keys supports str/None keys only, got "
                     f"{type(k).__name__}: non-string bucket keys hash "
                     f"differently on the JVM (use _affected_buckets)"
                 )
-            out.add(xxh64_signed(k.encode("utf-8")) % n)
         return out
+
+    def read_keys(self, keys) -> DataFrame | None:
+        """Bucket-pruned point lookup over a driver-resident key list:
+        read(buckets=buckets_for_keys(keys)) + a literal isin on the bucket
+        key — the no-join rendering of `read_matching` for small key sets
+        (pipeline small-delta path, streaming watch micro-batches). Null
+        keys match nothing, exactly like the left-semi join this replaces
+        (SQL isin never matches NULL). Returns None when nothing can match
+        (empty table / only-null keys)."""
+        non_null = [k for k in keys if k is not None]
+        if not non_null:
+            return None
+        df = self.read(buckets=sorted(self.buckets_for_keys(non_null)))
+        if df is None:
+            return None
+        return df.filter(F.col(self.bucket_key).isin(non_null))
 
     def _write_fileset(self, df: DataFrame, partition_by: list[str] | None) -> str:
         fs = "fs-" + uuid.uuid4().hex[:12]

@@ -534,5 +534,39 @@ def test_python_bucket_matches_spark(spark, tmp_path):
     # the contract is an explicit refusal
     import pytest
 
-    with pytest.raises(TypeError, match="str keys only"):
+    with pytest.raises(TypeError, match="keys only"):
         t.buckets_for_keys([42])
+
+    # a None key mirrors xxhash64(NULL) = seed pass-through: the hint built
+    # from a null-bearing key list must still cover the null rows' bucket
+    null_b = (
+        spark.createDataFrame([(None,)], "k string")
+        .select(F.pmod(F.xxhash64("k"), F.lit(n)).alias("b"))
+        .first()[0]
+    )
+    assert t.buckets_for_keys([None]) == {null_b}
+
+
+def test_read_keys_matches_read_matching(spark, tmp_path):
+    """read_keys (bucket-pruned literal lookup, the no-join rendering used
+    by the pipeline small-delta path and streaming watch) must return the
+    same rows as the read_matching left-semi join, including the null-key
+    convention: null keys match nothing, and a key list with None in it
+    neither crashes nor over-matches."""
+    t = SnapshotTable(spark, str(tmp_path / "rk"), bucket_key="k", n_buckets=8)
+    t.overwrite(
+        spark.createDataFrame(
+            [(f"k{i}", i) for i in range(50)] + [(None, 999)],
+            "k string, v int",
+        )
+    )
+    keys = ["k3", "k17", "k42", "missing", None]
+    got = sorted((r.k, r.v) for r in t.read_keys(keys).collect())
+    match_df = spark.createDataFrame([(k,) for k in keys], "k string")
+    want = sorted(
+        (r.k, r.v) for r in t.read_matching(match_df, ["k"]).collect()
+    )
+    assert got == want == [("k17", 17), ("k3", 3), ("k42", 42)]
+    # only-null / empty key lists: nothing can match
+    assert t.read_keys([None]) is None
+    assert t.read_keys([]) is None

@@ -271,10 +271,15 @@ def _near_dup_pairs_local(
                 for j in range(i + 1, len(members)):
                     x, y = members[i], members[j]
                     # pair ordered by id VALUE (not row position) — the
-                    # distributed join filters x.id < y.id
-                    if ids[x] < ids[y]:
+                    # distributed join filters x.id < y.id, which is never
+                    # true against a NULL id (the row still occupied its
+                    # band bucket above, also like the distributed census)
+                    ia, ib = ids[x], ids[y]
+                    if ia is None or ib is None:
+                        continue
+                    if ia < ib:
                         cand.add((x, y))
-                    elif ids[y] < ids[x]:
+                    elif ib < ia:
                         cand.add((y, x))
 
     norms = np.sqrt(np.einsum("ij,ij->i", M, M))
@@ -328,11 +333,13 @@ def cosine_near_dup_pairs(
         # local_max=0 to pin the distributed tier (plan tests, A/B).
         n_probe = len(vectors.select(id_col).limit(local_max + 1).collect())
         if n_probe <= local_max:
-            head = vectors.select(id_col, vec_col).toPandas()
-            ids = head[id_col].tolist()
+            # collect(), not toPandas(): pandas degrades a nullable int64
+            # id column to float64, corrupting ids
+            head = vectors.select(id_col, vec_col).collect()
+            ids = [r[0] for r in head]
             M = (
-                np.array(list(head[vec_col]), dtype=np.float64)
-                if len(head)
+                np.array([r[1] for r in head], dtype=np.float64)
+                if head
                 else np.zeros((0, 0))
             )
             return _near_dup_pairs_local(

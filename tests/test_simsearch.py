@@ -131,6 +131,10 @@ def test_near_dup_local_tier_agrees_with_distributed(spark):
         vid += 1
     rows.append((vid, [0.0] * dim))  # zero vector -> sim defined as 0.0
     vid += 1
+    # a NULL id riding a planted base: it must pair with NOTHING in both
+    # tiers (the distributed x.id < y.id is never true against NULL) while
+    # still occupying its band buckets
+    rows.append((None, [float(x) for x in rows[0][1]]))
     hot = [float(x) for x in rng.standard_normal(dim)]
     for _ in range(20):  # exact-dup cluster LARGER than max_bucket: its
         rows.append((vid, list(hot)))  # band buckets (>= 20 members) must be

@@ -152,6 +152,8 @@ def link_rows_local(
             out.append((s, n, hit, "dict"))
         else:
             misses.append((s, n))
+    if not misses:  # all dict hits: skip the O(|dict| × shingles) index build
+        return out
     dic_shingles = [
         (_shingles_normed(spec.norm(dk)), dk, v) for dk, v in sorted(dic.items())
     ]
@@ -211,8 +213,29 @@ def _collect_and_link_local(
     """Collect distinct surfaces (bounded by LOCAL_VOCAB_CAP) and link them
     driver-side; None when the cap or fuzzy budget forces the distributed
     tiers. The ONE collect here is the unavoidable parallel corpus scan —
-    everything after it is in-process."""
-    rows = distinct.select("surface").limit(LOCAL_VOCAB_CAP + 1).collect()
+    everything after it is in-process.
+
+    The CollectLimit below runs ALL partitions in one job round
+    (initialNumPartitions) instead of the 1, 4, 16… take escalation: the
+    limit only trips on the oversized-vocabulary bail-out, so the common
+    case pays every partition anyway, and each escalation round is a
+    driver-scheduled job of pure serial cost (event-log profile: 2 extra
+    rounds + gaps ≈ 1 s per scaling leg). Scoped HERE, not session-wide:
+    globally it would de-short-circuit every other limit/first/isEmpty
+    probe in the engine (CLI row caps, verify_consistency's limit(1), the
+    small-delta and local-tier probes), taxing interactive queries with
+    near-full scans."""
+    spark = distinct.sparkSession
+    key = "spark.sql.limit.initialNumPartitions"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "10000")
+        rows = distinct.select("surface").limit(LOCAL_VOCAB_CAP + 1).collect()
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
     if len(rows) > LOCAL_VOCAB_CAP:
         return None
     if spec_dictionary:

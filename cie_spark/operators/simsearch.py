@@ -334,19 +334,30 @@ def cosine_near_dup_pairs(
         n_probe = len(vectors.select(id_col).limit(local_max + 1).collect())
         if n_probe <= local_max:
             # collect(), not toPandas(): pandas degrades a nullable int64
-            # id column to float64, corrupting ids
-            head = vectors.select(id_col, vec_col).collect()
+            # id column to float64, corrupting ids. The fetch re-applies the
+            # limit: an input whose evaluation is nondeterministic (or grew
+            # between the two jobs) must not turn this into an unbounded
+            # driver collect — an over-cap fetch falls through to the
+            # distributed tier instead.
+            head = (
+                vectors.select(id_col, vec_col).limit(local_max + 1).collect()
+            )
             ids = [r[0] for r in head]
-            M = (
-                np.array([r[1] for r in head], dtype=np.float64)
-                if head
-                else np.zeros((0, 0))
-            )
-            return _near_dup_pairs_local(
-                vectors.sparkSession, ids, M, threshold,
-                vectors.schema[id_col].dataType,
-                n_planes, bands, seed, max_bucket,
-            )
+            # duplicate id VALUES break the mirror (the distributed plan
+            # dedups candidate id-pairs then fans back out across every
+            # vector row per id; the local pairing is row-based) — yield to
+            # the distributed tier rather than diverge
+            if len(head) <= local_max and len(set(ids)) == len(ids):
+                M = (
+                    np.array([r[1] for r in head], dtype=np.float64)
+                    if head
+                    else np.zeros((0, 0))
+                )
+                return _near_dup_pairs_local(
+                    vectors.sparkSession, ids, M, threshold,
+                    vectors.schema[id_col].dataType,
+                    n_planes, bands, seed, max_bucket,
+                )
 
     bits = n_planes // bands
     mask = (1 << bits) - 1

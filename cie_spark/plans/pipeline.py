@@ -202,8 +202,15 @@ class KGPipeline:
     def delta_convs(
         self, transcripts: DataFrame, restrict_ids: list[str] | None = None,
     ) -> DataFrame:
-        """conv_ids that are new or changed vs the processed checkpoint
-        (full-outer-join delta, exactly the reference's hash_delta shape).
+        """conv_ids that are new or changed vs the processed checkpoint —
+        a LEFT join on the current side, the reference's hash_delta shape
+        for upserts (internal/pipeline hash compare). Conversations REMOVED
+        from the source are deliberately not detected here: deletion is its
+        own explicit op (SnapshotTable.delete_where + cascading purge),
+        mirroring the reference's watcher-delete path being separate from
+        its reindex hash compare. The left shape is also what makes
+        `restrict_ids` bucket-pruning sound — a full-outer compare would
+        have to read the whole checkpoint.
 
         `restrict_ids`: caller guarantees `transcripts` holds only these
         conv_ids — the processed side of the compare is then bucket-pruned
@@ -662,7 +669,7 @@ class KGPipeline:
                 # churning snapshot history (ADVICE r4 low). Detected from
                 # the already-materialized fused delta, so the full-run path
                 # still reads the source exactly once (no isEmpty probe).
-                for c in (delta, mentions, linked, trips):
+                for c in (delta, mentions, linkmap, linked, trips):
                     c.unpersist()
                 self._record(run_id, lineage_rows)
                 return {"run_id": run_id, "rows_in": 0, "triples": 0,

@@ -54,12 +54,12 @@ def get_spark(
         # coalescing rarely triggers, and when it does it is right.
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # CollectLimit (the vocabulary-bounded surface collect, link.py) runs
-        # all partitions in ONE job round instead of the 1, 4, 16... take
-        # escalation: each extra round is a driver-scheduled job of pure
-        # serial cost (event-log profile: 2 extra rounds + gaps ~1 s/leg),
-        # and the limit only trips on the oversized-vocabulary bail-out path
-        .config("spark.sql.limit.initialNumPartitions", "10000")
+        # NB: spark.sql.limit.initialNumPartitions is deliberately NOT set
+        # here any more — session-wide it de-short-circuits every
+        # limit/first/isEmpty probe (CLI row caps, consistency checks, the
+        # local-tier size probes). The one caller that wants all-partitions-
+        # in-one-round semantics (the vocabulary-bounded surface collect)
+        # scopes it locally: link.py::_collect_and_link_local.
         # TIMESTAMP_MICROS, not the INT96 default: INT96 parquet columns
         # carry no footer min/max statistics (pyarrow: has_min_max=False),
         # which silently disabled the manifest ts-bounds harvesting that

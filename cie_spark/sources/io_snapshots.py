@@ -95,6 +95,26 @@ class SnapshotTable:
         self.write_partitions = write_partitions
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+        # the COMMITTED spec wins over constructor args (Iceberg: the
+        # partition spec lives with the table, not the client)
+        self._adopt_spec(self.current_snapshot())
+
+    def _adopt_spec(self, snap: dict | None) -> None:
+        """Adopt the committed bucket spec, if any. A handle constructed
+        with a different bucket_key/n_buckets than the table was created
+        with would compute pmod buckets against the WRONG modulus and
+        silently mis-merge (e.g. a warehouse indexed with job.py
+        --buckets 32 then written by cli/watch handles defaulting to 128:
+        the merge misses the bucket holding the existing row and
+        duplicates it). Called at construction and re-called at the head
+        of every mutation, so a rebucket() committed by another handle is
+        picked up no later than the CAS retry. Constructor args still
+        apply to tables with no committed spec (creation, and the
+        in-memory spec adoption of an empty-table rebucket)."""
+        spec = (snap or {}).get("spec")
+        if spec:
+            self.bucket_key = spec["bucket_key"]
+            self.n_buckets = int(spec["n_buckets"])
 
     # -- metadata -----------------------------------------------------------
 
@@ -319,6 +339,13 @@ class SnapshotTable:
         }
         if buckets is not None:
             manifest["buckets"] = {str(k): v for k, v in sorted(buckets.items())}
+        if self.bucket_key is not None:
+            # persist the bucket spec with the table (Iceberg partition-spec
+            # analog) so later handles adopt it instead of trusting their
+            # constructor args — see _adopt_spec
+            manifest["spec"] = {
+                "bucket_key": self.bucket_key, "n_buckets": self.n_buckets
+            }
         if partition_by is not None:
             manifest["partition_by"] = partition_by
         if self.stats_cols:
@@ -649,6 +676,7 @@ class SnapshotTable:
 
     def _append_once(self, df: DataFrame, partition_by: list[str] | None) -> str:
         prev = self.current_snapshot()
+        self._adopt_spec(prev)
         base = prev["snapshot_id"] if prev else None
         schema, widened = self._evolve_schema(prev, df)
         df = self._conform(df, schema)
@@ -749,6 +777,7 @@ class SnapshotTable:
         read + rewritten; every other bucket is carried forward untouched.
         """
         cur_snap = self.current_snapshot()
+        self._adopt_spec(cur_snap)
         base = cur_snap["snapshot_id"] if cur_snap else None
         schema, widened = self._evolve_schema(cur_snap, df)
         sinfo = (schema.jsonValue(), widened)
@@ -846,6 +875,7 @@ class SnapshotTable:
 
     def _delete_matching_once(self, match_df: DataFrame, keys: list[str]) -> str:
         cur_snap = self.current_snapshot()
+        self._adopt_spec(cur_snap)
         base = cur_snap["snapshot_id"] if cur_snap else None
         if cur_snap is None:
             return self._commit([], "delete", {"keys": keys}, expected_parent=base)
@@ -897,6 +927,7 @@ class SnapshotTable:
 
     def _delete_where_once(self, condition: str) -> str:
         cur_snap = self.current_snapshot()
+        self._adopt_spec(cur_snap)
         base = cur_snap["snapshot_id"] if cur_snap else None
         cur = self.read(snapshot_id=base) if base else None
         if cur is None:
@@ -936,6 +967,7 @@ class SnapshotTable:
 
     def _compact_once(self, bound: int) -> str | None:
         snap = self.current_snapshot()
+        self._adopt_spec(snap)
         if snap is None:
             return None
         bmap = self._bucket_map(snap)
@@ -972,12 +1004,20 @@ class SnapshotTable:
         `compact_buckets` fixes file counts, not bucket counts).
 
         After the commit this instance routes reads/merges on the new map;
-        other handles must be re-constructed with the new spec (n_buckets
-        was never persisted — it is part of the constructor contract, and
-        the commit summary records the change for audit). Unlike
+        other handles adopt the new spec automatically — the spec is
+        persisted in every commit manifest and `_adopt_spec` re-reads it at
+        construction and at the head of every mutation (the commit summary
+        additionally records the change for audit). Unlike
         compact_buckets this rewrites every live row: run it as background
         maintenance, not on the hot path. Returns the new snapshot id, or
         None for an empty/unwritten table (the new spec is simply adopted).
+
+        NOT concurrent-safe with an in-flight run that passes merge
+        `aff_hint`s: a hint is hashed against the modulus current when it
+        was computed, and a rebucket landing between hint computation and
+        the merge would make it under-cover (the pipeline's single-flight
+        lock already prevents this for pipeline-owned tables — schedule
+        rebuckets between runs).
         """
         if bucket_key is None and self.bucket_key is None:
             raise ValueError("rebucket needs a bucketed table or bucket_key=")
@@ -985,6 +1025,7 @@ class SnapshotTable:
 
     def _rebucket_once(self, n_buckets: int, bucket_key: str | None) -> str | None:
         snap = self.current_snapshot()
+        self._adopt_spec(snap)  # accurate from_* audit values on stale handles
         old_key, old_n = self.bucket_key, self.n_buckets
         if snap is None:
             self.bucket_key = bucket_key or self.bucket_key

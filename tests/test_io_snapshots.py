@@ -547,6 +547,34 @@ def test_python_bucket_matches_spark(spark, tmp_path):
     assert t.buckets_for_keys([None]) == {null_b}
 
 
+def test_bucket_spec_persisted_and_adopted(spark, tmp_path):
+    """The bucket spec lives with the TABLE, not the client (Iceberg
+    partition-spec semantics): a handle constructed with a different
+    n_buckets than the warehouse was created with must adopt the committed
+    spec instead of computing pmod against the wrong modulus — which would
+    miss the bucket holding an existing row and silently duplicate it on
+    merge (the job.py --buckets 32 vs cli/watch default-128 hazard)."""
+    root = str(tmp_path / "spec")
+    t1 = SnapshotTable(spark, root, bucket_key="k", n_buckets=8)
+    t1.overwrite(_df(spark, [(f"k{i}", i) for i in range(40)]))
+
+    # mismatched handle: constructor says 128, table says 8
+    t2 = SnapshotTable(spark, root, bucket_key="k", n_buckets=128)
+    assert t2.n_buckets == 8  # adopted at construction
+    t2.merge(_df(spark, [("k3", 3000), ("knew", 1)]), keys=["k"])
+    got = {r.k: r.v for r in t2.read().collect()}
+    assert got["k3"] == 3000 and got["knew"] == 1 and len(got) == 41
+
+    # a handle created BEFORE a rebucket adopts the new spec at its next
+    # mutation (spec re-read at the head of every merge/delete/append)
+    t3 = SnapshotTable(spark, root, bucket_key="k", n_buckets=8)
+    t1.rebucket(16)
+    t3.merge(_df(spark, [("k5", 5000)]), keys=["k"])
+    assert t3.n_buckets == 16
+    got = {r.k: r.v for r in t3.read().collect()}
+    assert got["k5"] == 5000 and len(got) == 41
+
+
 def test_read_keys_matches_read_matching(spark, tmp_path):
     """read_keys (bucket-pruned literal lookup, the no-join rendering used
     by the pipeline small-delta path and streaming watch) must return the

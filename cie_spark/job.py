@@ -35,6 +35,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--full", action="store_true", help="disable incremental delta")
     ap.add_argument("--no-prose", action="store_true", help="marker tiers only")
     ap.add_argument(
+        "--resume", default="trust_checkpoint",
+        choices=("trust_checkpoint", "force_reprocess", "fail_fast"),
+        help="recovery policy after an interrupted run: trust_checkpoint "
+             "converges via the hash delta + idempotent merges (default); "
+             "force_reprocess replays everything; fail_fast verifies "
+             "warehouse/checkpoint consistency and raises on divergence",
+    )
+    ap.add_argument(
         "--buckets", type=int, default=128,
         help="warehouse hash-bucket count (Iceberg practice: size to the "
              "TABLE — enough that an incremental rewrite touches a thin "
@@ -84,7 +92,8 @@ def main(argv: list[str] | None = None) -> int:
 
     pipe = KGPipeline(spark, args.warehouse, n_buckets=args.buckets)
     metrics = pipe.run(
-        transcripts, incremental=not args.full, prose=not args.no_prose
+        transcripts, incremental=not args.full, prose=not args.no_prose,
+        resume=args.resume,
     )
     print(json.dumps(metrics))
     spark.stop()

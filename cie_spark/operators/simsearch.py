@@ -432,13 +432,6 @@ def cosine_near_dup_pairs(
     return out
 
 
-def make_planes_from_df(
-    vectors: DataFrame, vec_col: str, n_planes: int, seed: int
-) -> list[list[float]]:
-    dim = len(vectors.select(vec_col).first()[0])
-    return make_planes(dim, n_planes, seed)
-
-
 def cosine_near_dup_exact(
     vectors: DataFrame, threshold: float = 0.9,
     id_col: str = "vec_id", vec_col: str = "embedding",

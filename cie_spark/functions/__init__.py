@@ -94,6 +94,57 @@ def row_lane_cols() -> list[Column]:
 
 EMBED_DIM = 64
 
+# xxHash64 constants (public algorithm; same values as Spark's XxHash64
+# expression / sql/catalyst XXH64). The numpy reimplementation below exists
+# so CPU-heavy minhash banding can run vectorized inside a pandas UDF while
+# staying BIT-IDENTICAL to the F.xxhash64 expression formulation — pinned by
+# tests/test_dedup.py::test_minhash_bands_udf_matches_expression.
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _xxh_fmix_scalar(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _M64
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def xxh64_int(i: int, seed: int = 42) -> int:
+    """Spark XxHash64 of one INT input (the 4-byte path an IntegerType
+    literal takes), as a Python int — used to pre-fold constant salts."""
+    h = (seed + _XXH_P5 + 4) & _M64
+    h ^= ((i & 0xFFFFFFFF) * _XXH_P1) & _M64
+    h = ((h << 23 | h >> 41) & _M64) * _XXH_P2 % (1 << 64)
+    h = (h + _XXH_P3) & _M64
+    return _xxh_fmix_scalar(h)
+
+
+def xxh64_long_array(v: np.ndarray, seed) -> np.ndarray:
+    """Spark XxHash64 of LONG inputs (vectorized): hashLong(v, seed) for a
+    uint64 array v. `seed` may be a scalar or an array broadcastable to v.
+    Returns uint64."""
+    p1 = np.uint64(_XXH_P1)
+    p2 = np.uint64(_XXH_P2)
+    p4 = np.uint64(_XXH_P4)
+    k = v * p2
+    k = ((k << np.uint64(31)) | (k >> np.uint64(33))) * p1
+    h = (np.asarray(seed, dtype=np.uint64) + np.uint64((_XXH_P5 + 8) & _M64)) ^ k
+    h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * p1 + p4
+    # fmix
+    h ^= h >> np.uint64(33)
+    h *= p2
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(_XXH_P3)
+    h ^= h >> np.uint64(32)
+    return h
+
 
 def fnv1a_array(tokens: np.ndarray) -> np.ndarray:
     """Vectorized FNV-1a 64 over an array of strings — one numpy pass per

@@ -217,6 +217,26 @@ def topk_ivf(
 # tests/test_simsearch.py::test_near_dup_local_tier_agrees_with_distributed.
 LOCAL_MAX_VECTORS = 8_192
 
+# Matrix-size budget (bytes, float64) for the broadcast-verify middle tier
+# of cosine_near_dup_pairs: above LOCAL_MAX_VECTORS but while the id->vector
+# matrix still fits comfortably on the driver and in every Python worker,
+# candidates are generated distributed (banded buckets) and VERIFIED against
+# a broadcast numpy matrix — candidate pairs cross the Python boundary as
+# ids only (16 bytes/pair), never as two 64-float vectors. At sf1.0
+# (20k × 64-dim, 7.5M candidate pairs) this replaced a 6 s candidate-dedup
+# shuffle + 12 s of join-backs + interpreted higher-order cosine with a
+# ~1 s matmul verify (guide §8: "decide with small rows, move big rows
+# once" — here the big rows never move at all). 64 MB at dim 64 caps the
+# tier at ~131k vectors; per-worker footprint is matrix + id index
+# (~75 MB). Above the cap (or on duplicate ids / ragged vectors) the
+# join-back tier below is the unchanged 100-TB shape. Override via the
+# CIE_NEAR_DUP_BROADCAST_MB env (0 disables the tier).
+BROADCAST_MAX_BYTES = int(
+    float(__import__("os").environ.get("CIE_NEAR_DUP_BROADCAST_MB", "64"))
+    * 1024 * 1024
+)
+BROADCAST_MAX_ROWS = 1 << 19
+
 
 def _round_half_up4(x: float) -> float:
     """Mirror of Spark's round(col, 4) on doubles: BigDecimal.valueOf
@@ -293,11 +313,61 @@ def _near_dup_pairs_local(
     return spark.createDataFrame(out, schema)
 
 
+def _bc_verify_gen(bc, threshold: float):
+    """mapInPandas generator: exact-cosine verify of (id_a, id_b) candidate
+    batches against a broadcast (id->row, matrix, norms) triple — one numpy
+    gather + row-wise dot per Arrow batch, threshold filter applied
+    IN-Python so only surviving pairs cross back. A plan NODE rather than a
+    UDF expression deliberately: a pandas-UDF sim column referenced by both
+    the filter and the projection gets evaluated twice by the optimizer
+    (two ArrowEvalPython nodes — guide §4.4; measured 2x the verify cost at
+    sf1.0). float64 throughout — the same math (and the same einsum norm)
+    as the driver-local tier, so tier agreement holds by construction."""
+
+    def gen(batches):
+        idx, M, norms = bc.value
+        # numeric-id fast path: vectorized searchsorted instead of a
+        # per-element dict map (7.5M Series.map lookups measured seconds)
+        skey = srow = None
+        if idx:
+            karr = np.array(list(idx.keys()))
+            if np.issubdtype(karr.dtype, np.number):
+                order = np.argsort(karr)
+                skey = karr[order]
+                srow = np.fromiter(
+                    (idx[k] for k in karr[order].tolist()),
+                    dtype=np.int64,
+                    count=len(order),
+                )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a, b = pdf["id_a"], pdf["id_b"]
+            if skey is not None:
+                ia = srow[np.searchsorted(skey, a.to_numpy())]
+                ib = srow[np.searchsorted(skey, b.to_numpy())]
+            else:
+                ia = a.map(idx).to_numpy(dtype=np.int64)
+                ib = b.map(idx).to_numpy(dtype=np.int64)
+            dots = np.einsum("ij,ij->i", M[ia], M[ib])
+            na, nb = norms[ia], norms[ib]
+            ok = (na > 0) & (nb > 0)
+            sim = np.where(ok, dots / np.where(ok, na * nb, 1.0), 0.0)
+            keep = sim >= threshold
+            if keep.any():
+                yield pd.DataFrame(
+                    {"id_a": a[keep], "id_b": b[keep], "sim": sim[keep]}
+                )
+
+    return gen
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_planes: int = 64, bands: int = 8, seed: int = 42,
     max_bucket: int = 512, local_max: int = LOCAL_MAX_VECTORS,
+    broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
 ) -> DataFrame:
     """Embedding near-dup pairs (a<b, cosine >= threshold) via BANDED
     hyperplane-signature blocking + exact verify — never an all-pairs cross
@@ -330,7 +400,7 @@ def cosine_near_dup_pairs(
         # one upstream pass but moves only id bytes, never the ~100 MB of
         # vectors an over-cap fetch would have discarded), then the
         # vectors, fetched only once the input is known to fit. Pass
-        # local_max=0 to pin the distributed tier (plan tests, A/B).
+        # local_max=0 to pin the distributed tiers (plan tests, A/B).
         n_probe = len(vectors.select(id_col).limit(local_max + 1).collect())
         if n_probe <= local_max:
             # collect(), not toPandas(): pandas degrades a nullable int64
@@ -359,27 +429,67 @@ def cosine_near_dup_pairs(
                     n_planes, bands, seed, max_bucket,
                 )
 
+    # middle tier (round 6): distributed banded candidates + broadcast-matrix
+    # verify. Probes are ids-first and bounded like the local tier's; any
+    # irregularity (over cap, duplicate non-null ids, ragged/NULL vectors)
+    # falls through to the join-back tier, which remains the 100-TB shape.
+    bc = None
+    if broadcast_max_bytes:
+        first = vectors.select(vec_col).limit(1).collect()
+        dim = (
+            len(first[0][0])
+            if first and first[0][0] is not None
+            else 0
+        )
+        rows_cap = (
+            min(broadcast_max_bytes // (dim * 8), BROADCAST_MAX_ROWS)
+            if dim
+            else 0
+        )
+        if rows_cap and len(
+            vectors.select(id_col).limit(rows_cap + 1).collect()
+        ) <= rows_cap:
+            head = vectors.select(id_col, vec_col).limit(rows_cap + 1).collect()
+            ids = [r[0] for r in head]
+            nn = [i for i in ids if i is not None]
+            if len(head) <= rows_cap and len(set(nn)) == len(nn):
+                try:
+                    M = np.array([r[1] for r in head], dtype=np.float64)
+                    if M.ndim == 2 or M.size == 0:
+                        norms = (
+                            np.sqrt(np.einsum("ij,ij->i", M, M))
+                            if M.size
+                            else np.zeros(0)
+                        )
+                        idx = {
+                            v: i for i, v in enumerate(ids) if v is not None
+                        }
+                        bc = vectors.sparkSession.sparkContext.broadcast(
+                            (idx, M, norms)
+                        )
+                except (TypeError, ValueError):
+                    bc = None
+
     bits = n_planes // bands
     mask = (1 << bits) - 1
-    # Fixed-overhead diet, round-5 FINAL shape (r4 verdict wrong #2). Two
-    # cuts survived measurement; one was reverted:
-    # - the dimension-probe `.first()` job is gone (planes derive from
-    #   seed+dim inside the UDF — bit-identity pytest-pinned);
-    # - candidate pairs stay ids-ONLY through the dedup shuffle (vectors
-    #   join back only for the verify — dragging both 64-float vectors
-    #   through dropDuplicates measured 3x wall on the sf0.1 bench);
-    # - the signature persist STAYS: a fully-lazy plan re-evaluates the
-    #   pandas-UDF signature subplan on both self-join sides (AQE runtime
-    #   exchange reuse does not reliably rescue Python-eval subtrees the
-    #   way it does pure-JVM subplans) — an interleaved A/B at sf0.1 /
-    #   local[32] read lazy 7.3 s vs persisted 1.1 s median. The pure-JVM
-    #   minhash candidates (dedup.minhash_candidates) keep the lazy shape:
-    #   the same A/B there read lazy 2.79 s vs persisted 2.99 s.
+    # Candidate generation (round-6 shape, shared by both distributed
+    # tiers): ONE aggregation per band bucket collects the value-sorted
+    # member ids and expands pairs in-row — replacing the r5 census
+    # groupBy + left-semi + band self-join (3 logical passes over the
+    # exploded signatures) with a single exchange of (band, id) rows. The
+    # pandas-UDF signature subtree is consumed exactly once, so the persist
+    # + eager localCheckpoint that protected it from double evaluation
+    # across the self-join sides are gone with the join itself (guide §2.4
+    # "remove shuffles outright"). count(*) (not size(collect_list))
+    # preserves the census semantics for NULL ids: they occupy their
+    # buckets but never pair (collect_list drops them, mirroring the old
+    # null-rejecting x.id < y.id join predicate).
+    from cie_spark.operators.dedup import _pair_expand
+
     sig = vectors.select(
         F.col(id_col),
-        F.col(vec_col),
         _hyperplane_sig_auto(F.col(vec_col), n_planes, seed).alias("sig"),
-    ).persist()
+    )
     parts = sig.select(
         id_col,
         F.posexplode(
@@ -391,30 +501,50 @@ def cosine_near_dup_pairs(
             )
         ).alias("band_idx", "band_val"),
     )
-    small = (
+    buckets = (
         parts.groupBy("band_idx", "band_val")
-        .count()
-        .filter(F.col("count") <= max_bucket)
-        .drop("count")
-    )
-    # candidate pairs are ids ONLY through the dedup shuffle: dragging both
-    # 64-float vectors through dropDuplicates shuffles ~30x more bytes than
-    # the ids (measured 3x wall on the sf0.1 bench); vectors are joined back
-    # for the verify afterwards — the same ids-then-payload shape as
-    # dedup.ngram_jaccard_pairs
-    pids = parts.join(small, on=["band_idx", "band_val"], how="left_semi")
-    cand = (
-        pids.alias("x")
-        .join(pids.alias("y"), on=["band_idx", "band_val"])
-        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .select(
-            F.col(f"x.{id_col}").alias("id_a"),
-            F.col(f"y.{id_col}").alias("id_b"),
+        .agg(
+            F.count("*").alias("_n"),
+            F.sort_array(F.collect_list(id_col)).alias("_ids"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("_n") <= max_bucket)
     )
-    vecs = sig.select(F.col(id_col), F.col(vec_col))
-    out = (
+    raw_pairs = _pair_expand(buckets, "_ids", "id_a", "id_b")
+
+    if bc is not None:
+        # Broadcast-matrix verify: candidate pairs cross the Python boundary
+        # as ids only; the exact cosine is a batched numpy gather + matmul
+        # against the broadcast matrix (same float64 math as the local
+        # tier). Duplicates across bands are verified redundantly (~5%
+        # extra at the sf1.0 operating point) in exchange for skipping the
+        # pre-verify dedup shuffle of the full candidate set — the dedup
+        # runs after the threshold filter, on the (tiny) surviving pairs,
+        # where duplicate rows carry identical sims.
+        id_type = vectors.schema[id_col].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("id_a", id_type),
+                T.StructField("id_b", id_type),
+                T.StructField("sim", T.DoubleType()),
+            ]
+        )
+        return (
+            raw_pairs.mapInPandas(_bc_verify_gen(bc, threshold), out_schema)
+            .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+
+    # join-back tier (the 100-TB shape): candidate pairs stay ids-ONLY
+    # through the dedup shuffle; vectors join back only for the verify
+    # (dragging both 64-float vectors through dropDuplicates measured 3x
+    # wall on the sf0.1 bench) — the same ids-then-payload shape as
+    # dedup.ngram_jaccard_pairs. The verify reads the vector table again
+    # rather than caching it: at scale a full-corpus persist is memory
+    # pressure, and the signature subtree no longer needs cache protection
+    # (it is consumed exactly once by the candidate aggregation).
+    cand = raw_pairs.dropDuplicates(["id_a", "id_b"])
+    vecs = vectors.select(F.col(id_col), F.col(vec_col))
+    return (
         cand.join(
             vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")),
             on="id_a",
@@ -426,10 +556,7 @@ def cosine_near_dup_pairs(
         .withColumn("sim", cosine_sim(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
-        .localCheckpoint(eager=True)  # materialize, then free the sig cache
     )
-    sig.unpersist()
-    return out
 
 
 def cosine_near_dup_exact(

@@ -107,3 +107,39 @@ def test_simhash_deterministic(spark):
 
     vals = [r.sh for r in d.select(simhash_col(F.col("text")).alias("sh")).collect()]
     assert vals[0] == vals[1]
+
+
+def test_minhash_bands_udf_matches_expression(spark):
+    """The numpy xxhash64 banding UDF must be BIT-IDENTICAL to the
+    F.xxhash64 expression formulation for every (band_idx, band_sig) —
+    including empty/None texts (zero-min chain) and short texts (< k
+    words). Any drift silently changes the candidate set."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "some other words entirely here now then"),
+        (4, ""),
+        (5, None),
+        (6, "ab"),  # single-word -> short-shingle path
+        (7, "x " * 200),  # repeated token
+    ] + [(100 + i, f"doc {i} shared prefix words tail{i % 7}") for i in range(50)]
+    d = _docs(spark, rows)
+    got = sorted(
+        (r.doc_id, r.band_idx, r.band_sig)
+        for r in dedup.minhash_signatures(d, bands=16, rows=4).collect()
+    )
+    ref = sorted(
+        (r.doc_id, r.band_idx, r.band_sig)
+        for r in dedup.minhash_signatures(d, bands=16, rows=4, expr=True).collect()
+    )
+    assert got == ref
+    # and at the other operating point (the default rows=2)
+    got2 = sorted(
+        (r.doc_id, r.band_idx, r.band_sig)
+        for r in dedup.minhash_signatures(d).collect()
+    )
+    ref2 = sorted(
+        (r.doc_id, r.band_idx, r.band_sig)
+        for r in dedup.minhash_signatures(d, expr=True).collect()
+    )
+    assert got2 == ref2

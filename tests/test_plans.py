@@ -150,31 +150,43 @@ def test_verify_absence_single_scan(spark, tmp_path):
     assert plan.count("Scan parquet") == 1
 
 
-def test_lazy_dedup_band_exchange_reused_at_runtime(spark):
-    """The round-5 fixed-overhead diet removed the signature persist from
-    minhash/cosine candidate generation; the 100-TB property it relied on is
-    AQE *runtime* exchange reuse — the band exchange (and the signature scan
-    below it) must compute ONCE even though the self-join references it
-    twice. (At small sizes AQE may instead pick a broadcast join, where the
-    recompute is trivially cheap — force the sort-merge path here so the
-    at-scale shape is what gets pinned.)"""
+def test_dedup_candidates_single_aggregation_no_join(spark):
+    """Round-6 candidate shape: per-band buckets collect their member ids in
+    ONE aggregation and expand pairs in-row — the signature subtree is
+    consumed exactly once and there is NO self-join (the r5 shape needed AQE
+    runtime exchange reuse to avoid computing the signature scan twice; this
+    pins that the join is gone outright, so the property cannot regress via
+    an AQE planning change)."""
     from cie_spark.operators import dedup
 
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        docs = spark.createDataFrame(
-            [(i, f"shared shingle words alpha beta gamma delta {i % 9}")
-             for i in range(300)],
-            "doc_id long, text string",
-        )
-        df = dedup.minhash_candidates(docs)
-        df.collect()
-        plan = _physical(df)
-        assert "isFinalPlan=true" in plan
-        assert "ReusedExchange" in plan, (
-            "band exchange not reused — the lazy candidate plan would "
-            "compute the signature scan twice at scale"
-        )
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    docs = spark.createDataFrame(
+        [(i, f"shared shingle words alpha beta gamma delta {i % 9}")
+         for i in range(300)],
+        "doc_id long, text string",
+    )
+    plan = _physical(dedup.minhash_candidates(docs))
+    assert "Join" not in plan
+    # one exchange for the band aggregation, one for the pair dedup — the
+    # signature projection itself must never require more
+    assert plan.count("Exchange") <= 3
+
+
+def test_dedup_no_exchange_before_signature_on_well_partitioned_input(spark):
+    """A multi-partition input must reach the signature projection with NO
+    repartition exchange (r5 verdict "what's wrong" #3: the unconditional
+    repartition was a full shuffle of all text bytes at 100 TB). The
+    under-parallel case (single-partition scan) must still insert one."""
+    from cie_spark.operators import dedup
+
+    rows = [(i, f"alpha beta gamma delta {i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wide = df.repartition(4)
+    narrow = df.coalesce(1)
+    # already-parallel input: _maybe_repartition must add NO exchange
+    assert _physical(dedup._maybe_repartition(wide, 4)).count(
+        "Exchange"
+    ) == _physical(wide).count("Exchange")
+    # under-parallel input (single-partition scan): exactly one is inserted
+    assert _physical(dedup._maybe_repartition(narrow, 4)).count(
+        "Exchange"
+    ) == _physical(narrow).count("Exchange") + 1

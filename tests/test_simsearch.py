@@ -147,15 +147,23 @@ def test_near_dup_local_tier_agrees_with_distributed(spark):
         (r.id_a, r.id_b, r.sim)
         for r in simsearch.cosine_near_dup_pairs(df, **kw).collect()
     )
-    dist = sorted(
+    # tier 2: distributed candidates + broadcast-matrix verify
+    mid = sorted(
         (r.id_a, r.id_b, r.sim)
         for r in simsearch.cosine_near_dup_pairs(df, local_max=0, **kw).collect()
+    )
+    # tier 3: join-back verify (the 100-TB shape)
+    dist = sorted(
+        (r.id_a, r.id_b, r.sim)
+        for r in simsearch.cosine_near_dup_pairs(
+            df, local_max=0, broadcast_max_bytes=0, **kw
+        ).collect()
     )
     assert local, "agreement test must compare non-empty results"
     # the over-cap drop really engaged: the 20-member exact-dup cluster's
     # buckets exceed max_bucket in every band, so neither tier pairs them
     assert not any(a >= hot_start and b >= hot_start for a, b, _ in local)
-    assert local == dist
+    assert local == mid == dist
 
 
 def test_hyperplane_sig_auto_matches_explicit_planes(spark):

@@ -146,6 +146,115 @@ def xxh64_long_array(v: np.ndarray, seed) -> np.ndarray:
     return h
 
 
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _le_words(flat: np.ndarray, offs: np.ndarray, nbytes: int) -> np.ndarray:
+    """Little-endian unsigned ints of width `nbytes` gathered from byte
+    positions offs..offs+nbytes-1 of `flat` (uint8)."""
+    w = np.zeros(len(offs), dtype=np.uint64)
+    for k in range(nbytes):
+        w |= flat[offs + k].astype(np.uint64) << np.uint64(8 * k)
+    return w
+
+
+def xxh64_bytes_array(bs: list, seed: int = 42) -> np.ndarray:
+    """Vectorized xxHash64 over a list of byte strings — BIT-IDENTICAL to
+    Spark's XxHash64 expression on string/binary input (UTF-8 bytes, seed
+    42), pinned by tests/test_dedup.py::test_xxh64_bytes_matches_spark.
+    Masked chunk-position loops over the flattened byte buffer: work is
+    O(total bytes), independent of the longest string."""
+    n = len(bs)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    flat = (
+        np.frombuffer(b"".join(bs), dtype=np.uint8)
+        if total
+        else np.zeros(0, dtype=np.uint8)
+    )
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    p1 = np.uint64(_XXH_P1)
+    p2 = np.uint64(_XXH_P2)
+    p3 = np.uint64(_XXH_P3)
+    p4 = np.uint64(_XXH_P4)
+    p5 = np.uint64(_XXH_P5)
+    s64 = np.uint64(seed & _M64)
+
+    h = np.full(n, (seed + _XXH_P5) & _M64, dtype=np.uint64)
+    pos = starts.copy()
+    rem = lens.copy()
+
+    big = lens >= 32
+    if big.any():
+        bidx = np.nonzero(big)[0]
+        m = len(bidx)
+        v = [
+            np.full(m, (int(s64) + _XXH_P1 + _XXH_P2) & _M64, dtype=np.uint64),
+            np.full(m, (int(s64) + _XXH_P2) & _M64, dtype=np.uint64),
+            np.full(m, int(s64), dtype=np.uint64),
+            np.full(m, (int(s64) - _XXH_P1) & _M64, dtype=np.uint64),
+        ]
+        boff = starts[bidx].copy()
+        brem = lens[bidx].copy()
+        alive = brem >= 32
+        while alive.any():
+            o = boff[alive]
+            for lane in range(4):
+                acc = v[lane][alive] + _le_words(flat, o + 8 * lane, 8) * p2
+                v[lane][alive] = _rotl64(acc, 31) * p1
+            boff[alive] += 32
+            brem[alive] -= 32
+            alive = brem >= 32
+        hh = (
+            _rotl64(v[0], 1) + _rotl64(v[1], 7)
+            + _rotl64(v[2], 12) + _rotl64(v[3], 18)
+        )
+        for lane in range(4):
+            hh = (hh ^ (_rotl64(v[lane] * p2, 31) * p1)) * p1 + p4
+        h[bidx] = hh
+        pos[bidx] = boff
+        rem[bidx] = brem
+
+    h += lens.astype(np.uint64)
+
+    alive = rem >= 8
+    while alive.any():
+        k1 = _rotl64(_le_words(flat, pos[alive], 8) * p2, 31) * p1
+        hv = h[alive] ^ k1
+        h[alive] = _rotl64(hv, 27) * p1 + p4
+        pos[alive] += 8
+        rem[alive] -= 8
+        alive = rem >= 8
+
+    four = rem >= 4
+    if four.any():
+        hv = h[four] ^ (_le_words(flat, pos[four], 4) * p1)
+        h[four] = _rotl64(hv, 23) * p2 + p3
+        pos[four] += 4
+        rem[four] -= 4
+
+    alive = rem >= 1
+    while alive.any():
+        hv = h[alive] ^ (flat[pos[alive]].astype(np.uint64) * p5)
+        h[alive] = _rotl64(hv, 11) * p1
+        pos[alive] += 1
+        rem[alive] -= 1
+        alive = rem >= 1
+
+    h ^= h >> np.uint64(33)
+    h *= p2
+    h ^= h >> np.uint64(29)
+    h *= p3
+    h ^= h >> np.uint64(32)
+    out[:] = h
+    return out
+
+
 def fnv1a_array(tokens: np.ndarray) -> np.ndarray:
     """Vectorized FNV-1a 64 over an array of strings — one numpy pass per
     byte POSITION over the still-alive token set, so total work is O(sum of

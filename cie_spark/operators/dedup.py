@@ -105,8 +105,74 @@ def _word_shingles(text_col, k: int = 3):
     ).otherwise(F.array(F.concat_ws(" ", words)))
 
 
+def _words_col():
+    """Word tokens of the normalized text — the JVM side of the shingle
+    pipeline. Tokenization stays in the JVM (F.lower/regexp/split
+    semantics) so the Python shingle/hash stage can never diverge on
+    locale/whitespace edge cases."""
+    return F.split(
+        F.regexp_replace(
+            F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+", " "
+        ),
+        " ",
+    )
+
+
+def _shingle_flat(word_lists, k: int):
+    """Per-doc distinct k-word shingles (first-occurrence order, the
+    array_distinct contract), hashed with the Spark-identical vectorized
+    xxhash64: returns (flat uint64 hashes, per-doc counts)."""
+    import numpy as np
+
+    from cie_spark.functions import xxh64_bytes_array
+
+    sh_flat: list = []
+    counts = []
+    for ws in word_lists:
+        if ws is None:
+            ws = []
+        n = len(ws)
+        if n >= k:
+            sh = dict.fromkeys(
+                " ".join(ws[i : i + k]) for i in range(n - k + 1)
+            )
+        else:
+            sh = (" ".join(ws),)
+        counts.append(len(sh))
+        sh_flat.extend(s.encode() for s in sh)
+    return xxh64_bytes_array(sh_flat), np.asarray(counts, dtype=np.int64)
+
+
+def _words_to_hs_udf(k: int):
+    """words array -> xxhash64'd distinct shingle array, Arrow-vectorized.
+    BIT-IDENTICAL to transform(_word_shingles(text), xxhash64) — pinned by
+    tests/test_dedup.py::test_shingle_base_udf_matches_expression. The JVM
+    expression chain (sequence/slice/concat_ws over every shingle position)
+    was the dominant term of the minhash signature pass (~2 s of string
+    allocation at sf1.0); here shingles are joined and hashed in one numpy
+    pass (guide §4.2)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    @F.pandas_udf(T2.ArrayType(T2.LongType()))
+    def hs(words: pd.Series) -> pd.Series:
+        lists = words.tolist()
+        flat, counts = _shingle_flat(lists, k)
+        signed = flat.view(np.int64)
+        out = []
+        o = 0
+        for c in counts.tolist():
+            out.append(signed[o : o + c])
+            o += c
+        return pd.Series(out)
+
+    return hs
+
+
 def hashed_shingle_base(
-    docs: DataFrame, shingle_words: int = 3, *, widen: bool = True
+    docs: DataFrame, shingle_words: int = 3, *, widen: bool = True,
+    expr: bool = False,
 ) -> DataFrame:
     """(doc_id, hs) — per-document array of xxhash64'd word shingles. The
     ONE text-processing pass of the minhash family: band signatures AND the
@@ -115,24 +181,36 @@ def hashed_shingle_base(
     downstream moves 8-byte longs, never shingle strings (guide §2.3
     "narrower types / shuffle keys instead of payloads"). `widen=False`
     skips the under-parallelism check for inputs known to be tiny (the
-    semi-join-reduced verify side)."""
+    semi-join-reduced verify side). `expr=True` selects the all-JVM
+    expression twin the UDF is pinned against."""
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if not widen:
         n_part = 0
-    return _maybe_repartition(docs, n_part).select(
-        "doc_id",
-        F.transform(
-            _word_shingles(F.coalesce(F.col("text"), F.lit("")), shingle_words),
-            lambda x: F.xxhash64(x),
-        ).alias("hs"),
+    src = _maybe_repartition(docs, n_part)
+    if expr:
+        return src.select(
+            "doc_id",
+            F.transform(
+                _word_shingles(
+                    F.coalesce(F.col("text"), F.lit("")), shingle_words
+                ),
+                lambda x: F.xxhash64(x),
+            ).alias("hs"),
+        )
+    return src.select(
+        "doc_id", _words_to_hs_udf(shingle_words)(_words_col()).alias("hs")
     )
 
 
-def _minhash_bands_udf(bands: int, rows: int):
+def _minhash_bands_udf(bands: int, rows: int, shingle_words: int | None = None):
     """Arrow-vectorized minhash banding: all bands×rows salted minima and
     the band signatures in one numpy pass per batch — BIT-IDENTICAL to the
     F.xxhash64 expression formulation (the `expr=True` twin below), pinned
     by tests/test_dedup.py::test_minhash_bands_udf_matches_expression.
+    With `shingle_words` set, the returned UDF takes the WORDS array and
+    fuses shingle construction + hashing + banding into one Python stage
+    (no hs arrays ever materialize for the candidates path); with it None,
+    the UDF takes a pre-computed hs array.
 
     Why a UDF (guide §4.2): the expression form evaluates 64 separate
     transform/array_min traversals per document (~166M xxhash64 calls at
@@ -153,21 +231,14 @@ def _minhash_bands_udf(bands: int, rows: int):
     salt_seeds = [np.uint64(xxh64_int(h, 42)) for h in range(n_fn)]
     band_seeds = [np.uint64(xxh64_int(b, 42)) for b in range(bands)]
 
-    @F.pandas_udf(T2.ArrayType(T2.LongType()))
-    def sigs(hs: pd.Series) -> pd.Series:
-        lists = hs.tolist()
-        n = len(lists)
-        lens = np.array(
-            [len(x) if x is not None else 0 for x in lists], dtype=np.int64
-        )
+    def from_flat(flat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """(flat uint64 token hashes, per-doc counts) -> docs×bands int64."""
+        n = len(lens)
         nonzero = lens > 0
         out = np.empty((n, bands), dtype=np.uint64)
         for b in range(bands):
             out[:, b] = band_seeds[b]
         if nonzero.any():
-            flat = np.concatenate(
-                [np.asarray(x, dtype=np.int64) for x in lists if x is not None and len(x)]
-            ).view(np.uint64)
             m = int(nonzero.sum())
             starts = np.zeros(m, dtype=np.int64)
             np.cumsum(lens[nonzero][:-1], out=starts[1:])
@@ -182,10 +253,35 @@ def _minhash_bands_udf(bands: int, rows: int):
                     acc = xxh64_long_array(mins[b * rows + r_i], acc)
                 sig_nz[:, b] = acc
             out[nonzero] = sig_nz
-        signed = out.view(np.int64)
+        return out.view(np.int64)
+
+    @F.pandas_udf(T2.ArrayType(T2.LongType()))
+    def sigs(hs: pd.Series) -> pd.Series:
+        lists = hs.tolist()
+        lens = np.array(
+            [len(x) if x is not None else 0 for x in lists], dtype=np.int64
+        )
+        flat = (
+            np.concatenate(
+                [
+                    np.asarray(x, dtype=np.int64)
+                    for x in lists
+                    if x is not None and len(x)
+                ]
+            ).view(np.uint64)
+            if lens.any()
+            else np.zeros(0, dtype=np.uint64)
+        )
+        signed = from_flat(flat, lens)
         return pd.Series([row for row in signed])
 
-    return sigs
+    @F.pandas_udf(T2.ArrayType(T2.LongType()))
+    def sigs_from_words(words: pd.Series) -> pd.Series:
+        flat, counts = _shingle_flat(words.tolist(), shingle_words)
+        signed = from_flat(flat, counts)
+        return pd.Series([row for row in signed])
+
+    return sigs if shingle_words is None else sigs_from_words
 
 
 def minhash_signatures(
@@ -205,16 +301,29 @@ def minhash_signatures(
     - repartition before the CPU-heavy projection ONLY when the input scan
       is under-parallel (guide §2.4; r5 verdict wrong #3).
     """
-    if base is None:
-        base = hashed_shingle_base(docs, shingle_words)
-
     if not expr:
-        return base.select(
-            "doc_id",
-            F.posexplode(_minhash_bands_udf(bands, rows)(F.col("hs"))).alias(
-                "band_idx", "band_sig"
-            ),
+        if base is not None:
+            return base.select(
+                "doc_id",
+                F.posexplode(
+                    _minhash_bands_udf(bands, rows)(F.col("hs"))
+                ).alias("band_idx", "band_sig"),
+            )
+        # fused path: words -> shingles -> hashes -> bands in ONE Python
+        # stage; the hs arrays never materialize
+        n_part = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
+        src = _maybe_repartition(docs, n_part)
+        return src.select(
+            "doc_id",
+            F.posexplode(
+                _minhash_bands_udf(bands, rows, shingle_words)(_words_col())
+            ).alias("band_idx", "band_sig"),
+        )
+
+    if base is None:
+        base = hashed_shingle_base(docs, shingle_words, expr=True)
 
     # expression twin (`expr=True`): the reference formulation the UDF is
     # pinned against — kept runnable for the bit-identity test
@@ -292,13 +401,12 @@ def ngram_jaccard_pairs(
     string arrays (guide §2.3), and the candidate side is small enough that
     AQE turns both verify joins into broadcast joins."""
     kw.setdefault("rows", 4 if threshold >= 0.7 else 2)
-    base = hashed_shingle_base(docs, shingle_words)
     # materialize the (small) candidate set once: it feeds the verify join
     # AND the semi-join reduction below — without this, every consumer
     # would recompute the full signature pipeline (~3.5 s at sf1.0)
-    cands = minhash_candidates(docs, base=base, **kw).localCheckpoint(
-        eager=True
-    )
+    cands = minhash_candidates(
+        docs, shingle_words=shingle_words, **kw
+    ).localCheckpoint(eager=True)
     # Verify-side diet (guide §3.2 shape): only documents actually named by
     # a candidate pair are re-shingled — a broadcast semi-join on the
     # candidate ids prunes the corpus BEFORE the shingle projection, so the

@@ -393,82 +393,82 @@ def cosine_near_dup_pairs(
     salting analog; recall trade documented). Verification is the exact
     cosine, so precision is 1.0 by construction.
     """
-    if local_max:
-        # small-input tier, two bounded probes: first ids ONLY (a
-        # column-pruned CollectLimit — for a scan input it short-circuits
-        # at the first files; for a shuffle-derived input it costs at most
-        # one upstream pass but moves only id bytes, never the ~100 MB of
-        # vectors an over-cap fetch would have discarded), then the
-        # vectors, fetched only once the input is known to fit. Pass
-        # local_max=0 to pin the distributed tiers (plan tests, A/B).
-        n_probe = len(vectors.select(id_col).limit(local_max + 1).collect())
-        if n_probe <= local_max:
-            # collect(), not toPandas(): pandas degrades a nullable int64
-            # id column to float64, corrupting ids. The fetch re-applies the
-            # limit: an input whose evaluation is nondeterministic (or grew
-            # between the two jobs) must not turn this into an unbounded
-            # driver collect — an over-cap fetch falls through to the
-            # distributed tier instead.
-            head = (
-                vectors.select(id_col, vec_col).limit(local_max + 1).collect()
-            )
-            ids = [r[0] for r in head]
-            # duplicate id VALUES break the mirror (the distributed plan
-            # dedups candidate id-pairs then fans back out across every
-            # vector row per id; the local pairing is row-based) — yield to
-            # the distributed tier rather than diverge
-            if len(head) <= local_max and len(set(ids)) == len(ids):
-                M = (
-                    np.array([r[1] for r in head], dtype=np.float64)
-                    if head
-                    else np.zeros((0, 0))
-                )
-                return _near_dup_pairs_local(
-                    vectors.sparkSession, ids, M, threshold,
-                    vectors.schema[id_col].dataType,
-                    n_planes, bands, seed, max_bucket,
-                )
-
-    # middle tier (round 6): distributed banded candidates + broadcast-matrix
-    # verify. Probes are ids-first and bounded like the local tier's; any
-    # irregularity (over cap, duplicate non-null ids, ragged/NULL vectors)
-    # falls through to the join-back tier, which remains the 100-TB shape.
+    # Size probes for the driver-local and broadcast-verify tiers: ids-first
+    # and bounded (a column-pruned CollectLimit — for a scan input it
+    # short-circuits at the first files; for a shuffle-derived input it
+    # costs at most one upstream pass but moves only id bytes, never the
+    # ~100 MB of vectors an over-cap fetch would have discarded). ONE ids
+    # probe at the larger cap serves both tier decisions (round 6: the
+    # separate local probe was a fourth driver job). Pass local_max=0 /
+    # broadcast_max_bytes=0 to pin the distributed tiers (plan tests, A/B).
     bc = None
+    rows_cap = 0
     if broadcast_max_bytes:
         first = vectors.select(vec_col).limit(1).collect()
-        dim = (
-            len(first[0][0])
-            if first and first[0][0] is not None
-            else 0
-        )
+        dim = len(first[0][0]) if first and first[0][0] is not None else 0
         rows_cap = (
             min(broadcast_max_bytes // (dim * 8), BROADCAST_MAX_ROWS)
             if dim
             else 0
         )
-        if rows_cap and len(
-            vectors.select(id_col).limit(rows_cap + 1).collect()
-        ) <= rows_cap:
-            head = vectors.select(id_col, vec_col).limit(rows_cap + 1).collect()
-            ids = [r[0] for r in head]
-            nn = [i for i in ids if i is not None]
-            if len(head) <= rows_cap and len(set(nn)) == len(nn):
-                try:
-                    M = np.array([r[1] for r in head], dtype=np.float64)
-                    if M.ndim == 2 or M.size == 0:
-                        norms = (
-                            np.sqrt(np.einsum("ij,ij->i", M, M))
-                            if M.size
-                            else np.zeros(0)
-                        )
-                        idx = {
-                            v: i for i, v in enumerate(ids) if v is not None
-                        }
-                        bc = vectors.sparkSession.sparkContext.broadcast(
-                            (idx, M, norms)
-                        )
-                except (TypeError, ValueError):
-                    bc = None
+    probe_cap = max(local_max, rows_cap)
+    n_probe = (
+        len(vectors.select(id_col).limit(probe_cap + 1).collect())
+        if probe_cap
+        else probe_cap
+    )
+    if local_max and n_probe <= local_max:
+        # collect(), not toPandas(): pandas degrades a nullable int64
+        # id column to float64, corrupting ids. The fetch re-applies the
+        # limit: an input whose evaluation is nondeterministic (or grew
+        # between the two jobs) must not turn this into an unbounded
+        # driver collect — an over-cap fetch falls through to the
+        # distributed tier instead.
+        head = (
+            vectors.select(id_col, vec_col).limit(local_max + 1).collect()
+        )
+        ids = [r[0] for r in head]
+        # duplicate id VALUES break the mirror (the distributed plan
+        # dedups candidate id-pairs then fans back out across every
+        # vector row per id; the local pairing is row-based) — yield to
+        # the distributed tier rather than diverge
+        if len(head) <= local_max and len(set(ids)) == len(ids):
+            M = (
+                np.array([r[1] for r in head], dtype=np.float64)
+                if head
+                else np.zeros((0, 0))
+            )
+            return _near_dup_pairs_local(
+                vectors.sparkSession, ids, M, threshold,
+                vectors.schema[id_col].dataType,
+                n_planes, bands, seed, max_bucket,
+            )
+
+    # middle tier (round 6): distributed banded candidates + broadcast-matrix
+    # verify. Any irregularity (over cap, duplicate non-null ids,
+    # ragged/NULL vectors) falls through to the join-back tier, which
+    # remains the 100-TB shape.
+    if rows_cap and n_probe <= rows_cap:
+        head = vectors.select(id_col, vec_col).limit(rows_cap + 1).collect()
+        ids = [r[0] for r in head]
+        nn = [i for i in ids if i is not None]
+        if len(head) <= rows_cap and len(set(nn)) == len(nn):
+            try:
+                M = np.array([r[1] for r in head], dtype=np.float64)
+                if M.ndim == 2 or M.size == 0:
+                    norms = (
+                        np.sqrt(np.einsum("ij,ij->i", M, M))
+                        if M.size
+                        else np.zeros(0)
+                    )
+                    idx = {
+                        v: i for i, v in enumerate(ids) if v is not None
+                    }
+                    bc = vectors.sparkSession.sparkContext.broadcast(
+                        (idx, M, norms)
+                    )
+            except (TypeError, ValueError):
+                bc = None
 
     bits = n_planes // bands
     mask = (1 << bits) - 1

@@ -123,43 +123,65 @@ def mentioned_with_windowed(
     {block(i), block(i)+1} — bounded fan-out, no conv-level self-join.
     """
     w = window_turns
-    ents = (
+    # Round-6 shape: aggregate per-turn entity SETS first (map-side partial
+    # aggregation shrinks the shuffle to ~one row per turn instead of one
+    # per entity mention), join TURN rows on (conv, block), and expand +
+    # dedup the pairs IN-ROW. This removes the 5-column dropDuplicates
+    # shuffle of the full pair stream (1.28M rows at sf1.0) outright: a
+    # duplicate (subj, obj, ti, tj) can only arise from the two
+    # orientations (x@ti, y@tj) / (y@ti, x@tj), which land in the SAME
+    # joined row, where array_distinct removes it. Per-turn ts is min(ts)
+    # — identical to the old per-entity ts, which is constant within a
+    # turn. The turn-block salting (skew story) is unchanged.
+    per_turn = (
         linked.filter(F.col("kind") == "entity")
-        .select("conv_id", "turn_idx", "entity_id", "ts")
-        .dropDuplicates(["conv_id", "turn_idx", "entity_id"])
+        .groupBy("conv_id", "turn_idx")
+        .agg(
+            F.sort_array(F.collect_set("entity_id")).alias("es"),
+            F.min("ts").alias("ts"),
+        )
     )
-    left = ents.select(
+    blk = (F.col("turn_idx") / w).cast("long")
+    left = per_turn.select(
         "conv_id",
         F.col("turn_idx").alias("ti"),
-        F.col("entity_id").alias("ea"),
+        F.col("es").alias("es_i"),
         F.col("ts").alias("ts_i"),
         # the two blocks are always distinct (b, b+1) -> no dedup needed
-        F.explode(
-            F.array(
-                (F.col("turn_idx") / w).cast("long"),
-                (F.col("turn_idx") / w).cast("long") + 1,
-            )
-        ).alias("block"),
+        F.explode(F.array(blk, blk + 1)).alias("block"),
     )
-    right = ents.select(
+    right = per_turn.select(
         "conv_id",
         F.col("turn_idx").alias("tj"),
-        F.col("entity_id").alias("eb"),
-        (F.col("turn_idx") / w).cast("long").alias("block"),
+        F.col("es").alias("es_j"),
+        blk.alias("block"),
+    )
+    combos = F.array_distinct(
+        F.flatten(
+            F.transform(
+                "es_i",
+                lambda a: F.transform(
+                    F.filter("es_j", lambda b: b != a),
+                    lambda b: F.struct(
+                        F.least(a, b).alias("s"), F.greatest(a, b).alias("o")
+                    ),
+                ),
+            )
+        )
     )
     pairs = (
         left.join(right, on=["conv_id", "block"])
         .filter((F.col("tj") > F.col("ti")) & (F.col("tj") - F.col("ti") <= w))
-        .filter(F.col("ea") != F.col("eb"))
         .select(
-            F.least("ea", "eb").alias("subj"),
-            F.greatest("ea", "eb").alias("obj"),
             "conv_id",
             F.col("ti").alias("turn_idx"),
-            "tj",
             F.col("ts_i").alias("ts"),
+            F.explode(combos).alias("p"),
         )
-        .dropDuplicates(["subj", "obj", "conv_id", "turn_idx", "tj"])
+        .select(
+            F.col("p.s").alias("subj"), F.col("p.o").alias("obj"),
+            "conv_id", "turn_idx", "ts",
+        )
     )
     agg = pairs.groupBy("subj", "obj", "conv_id").agg(
         F.min("turn_idx").alias("turn_idx"),

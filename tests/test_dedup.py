@@ -143,3 +143,52 @@ def test_minhash_bands_udf_matches_expression(spark):
         for r in dedup.minhash_signatures(d, expr=True).collect()
     )
     assert got2 == ref2
+
+
+def test_xxh64_bytes_matches_spark(spark):
+    """The vectorized numpy xxHash64 must agree with Spark's XxHash64
+    expression byte-for-byte across every length class (empty, <4, <8,
+    8..31 with 4-byte and byte tails, >= 32 stripe path)."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cie_spark.functions import xxh64_bytes_array
+
+    random.seed(3)
+    strs = ["", " ", "a", "abc", "abcd", "abcdefg", "abcdefgh", "x" * 31,
+            "y" * 32, "z" * 33, "w" * 64, "v" * 100]
+    strs += [
+        "".join(random.choice("abc XYZ01_") for _ in range(random.randrange(0, 80)))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strs)], "i long, s string"
+    )
+    ref = {r.i: r.h for r in df.select("i", F.xxhash64("s").alias("h")).collect()}
+    got = xxh64_bytes_array([s.encode() for s in strs]).view(np.int64)
+    assert all(ref[i] == int(got[i]) for i in range(len(strs)))
+
+
+def test_shingle_base_udf_matches_expression(spark):
+    """The words->shingle->hash UDF must return the identical hs arrays
+    (values AND first-occurrence order) as the all-JVM expression twin."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "a b"),          # short-text path (< k words -> one shingle)
+        (3, ""),
+        (4, None),
+        (5, "  padded   whitespace\ttabs\nnewlines  "),
+        (6, "Dup dup DUP dup dup dup"),  # repeated shingles -> distinct
+    ] + [(10 + i, f"words {i} more shared tail {i % 5} end") for i in range(40)]
+    d = _docs(spark, rows)
+    got = {
+        r.doc_id: list(r.hs)
+        for r in dedup.hashed_shingle_base(d).collect()
+    }
+    ref = {
+        r.doc_id: list(r.hs)
+        for r in dedup.hashed_shingle_base(d, expr=True).collect()
+    }
+    assert got == ref

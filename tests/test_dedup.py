@@ -192,3 +192,35 @@ def test_shingle_base_udf_matches_expression(spark):
         for r in dedup.hashed_shingle_base(d, expr=True).collect()
     }
     assert got == ref
+
+
+def test_jaccard_local_verify_agrees_with_join(spark, monkeypatch):
+    """The driver-local verify tier (bounded pair/byte caps) must return
+    the identical pair set and identical rounded jaccard values as the
+    distributed join verify, including empty-result and None-text cases."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "the quick brown fox jumps over the lazy cat today"),
+        (4, "completely different text with no overlap at all here"),
+        (5, None),
+        (6, ""),
+    ] + [(100 + i, f"shared prefix words alpha beta gamma {i % 3} tail") for i in range(30)]
+    d = _docs(spark, rows)
+    fast = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(d, threshold=0.5).collect()
+    )
+    monkeypatch.setattr(dedup, "LOCAL_VERIFY_MAX_PAIRS", 0)
+    slow = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(d, threshold=0.5).collect()
+    )
+    assert fast, "agreement test must compare non-empty results"
+    assert fast == slow
+    # empty-candidate case: schema and zero rows, no failure
+    empty = dedup.ngram_jaccard_pairs(
+        _docs(spark, [(1, "aa bb cc dd"), (2, "ee ff gg hh")]), threshold=0.9
+    )
+    assert empty.columns == ["doc_a", "doc_b", "jaccard"]
+    assert empty.count() == 0
